@@ -1,0 +1,13 @@
+"""quanto-tpu: a TPU-native (JAX/XLA/Pallas) quantization framework.
+
+From-scratch re-design of the capabilities of huggingface/optimum-quanto for
+TPU: QArray pytrees instead of tensor subclasses, explicit quantized ops
+instead of dispatch interception, Pallas fused dequant-matmul kernels instead
+of CUDA extensions, and jax.sharding for multi-chip scale-out (which the
+reference does not have).
+"""
+
+__version__ = "0.1.0"
+
+from .tensor import *  # noqa: F401,F403
+from .ops import qlinear  # noqa: F401

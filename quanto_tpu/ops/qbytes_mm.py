@@ -1,0 +1,65 @@
+"""8-bit mixed matmuls.
+
+TPU-native equivalent of `quanto::qbytes_mm` and its per-backend impls
+(reference `optimum/quanto/library/qbytes_mm.py:22-122`). On TPU the int8
+path maps directly onto the MXU: `lax.dot_general` with int8 operands and
+`preferred_element_type=int32` compiles to native int8 systolic matmuls
+(the analogue of CUDA `torch._int_mm`). The weight-only path scales weights
+back to float before the matmul; under jit XLA fuses the dequantization into
+the matmul's operand read, so no separate kernel is needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+__all__ = ["qbytes_mm", "qbytes_int_mm"]
+
+
+def _dot_last_dim(a: jnp.ndarray, b_t: jnp.ndarray, preferred_element_type):
+    """a[..., k] @ b_t[k, n] contraction over the last dim of a."""
+    return lax.dot_general(
+        a,
+        b_t,
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def qbytes_int_mm(
+    activations: jnp.ndarray, weights: jnp.ndarray, output_scales: jnp.ndarray
+) -> jnp.ndarray:
+    """int8 x int8 matmul with int32 accumulation on the MXU.
+
+    `activations`: int8 [..., in], `weights`: int8 [out, in],
+    `output_scales`: combined scale, broadcastable to [out, 1].
+    Mirrors `qbytes_int_mm` (reference `library/qbytes_mm.py:36-50`):
+    the int32 product is scaled in float32 to avoid overflow, then cast to
+    the scale dtype.
+    """
+    out_data = _dot_last_dim(activations, weights.T, jnp.int32)
+    output_scales = jnp.asarray(output_scales)
+    # scales are per-out-feature [out, 1] (or scalar); transpose to broadcast
+    # over the output's last dimension.
+    scales = output_scales.T if output_scales.ndim == 2 else output_scales
+    fp32_output = out_data.astype(jnp.float32) * scales.astype(jnp.float32)
+    return fp32_output.astype(output_scales.dtype)
+
+
+def qbytes_mm(
+    activations: jnp.ndarray, weights: jnp.ndarray, output_scales: jnp.ndarray
+) -> jnp.ndarray:
+    """Generic mixed mm: dequantize weights with `output_scales`, then matmul.
+
+    Mirrors the default impl (reference `library/qbytes_mm.py:25-33`). When
+    both operands are int8, routes to the native MXU int path.
+    """
+    output_scales = jnp.asarray(output_scales)
+    if activations.dtype == jnp.int8 and weights.dtype == jnp.int8:
+        return qbytes_int_mm(activations, weights, output_scales)
+    out_dtype = output_scales.dtype
+    activations = activations.astype(out_dtype)
+    weights = (output_scales.astype(jnp.float32) * weights.astype(jnp.float32)).astype(out_dtype)
+    return _dot_last_dim(activations, weights.T, out_dtype)

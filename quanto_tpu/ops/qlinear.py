@@ -1,0 +1,79 @@
+"""Quantized linear (the hot op).
+
+Functional replacement for the reference's `__torch_function__` interception
+of `F.linear` (`tensor/weights/qbytes.py:249-274`, `weights/qbits.py:262-287`)
+plus `WeightQBytesLinearFunction`/`QuantizedLinearFunction`
+(`tensor/function.py:21-63`, `weights/qbytes.py:68-82`): in JAX the dispatch
+is an explicit function of the operand types.
+
+Paths:
+- float x, `WeightQBytesArray` w  → weight-only mm (XLA fuses dequant);
+- `ActivationQBytesArray` x (int8), int8 w → native MXU int8xint8 matmul with
+  int32 accumulation, scaled by `x.scale * w.scale`;
+- float x, `WeightQBitsArray` w → fused group-wise dequant matmul (Pallas
+  kernel when enabled, XLA dequant-mm otherwise);
+- plain arrays → standard matmul.
+
+Weights follow the torch linear convention: shape [out_features, in_features].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .qbytes_mm import qbytes_mm
+from . import config
+
+
+def _tensor_types():
+    # Imported lazily: the tensor package itself imports quanto_tpu.ops.
+    from ..tensor.activations import ActivationQBytesArray
+    from ..tensor.weights import WeightQBitsArray, WeightQBytesArray
+
+    return ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray
+
+
+__all__ = ["qlinear"]
+
+
+def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Sub-byte weight matmul: x[..., in] @ dequant(w)[out, in].T."""
+    if config.use_pallas_qbits():
+        from .pallas import qbits_matmul
+
+        out = qbits_matmul(x, w)
+        if out is not None:
+            return out
+    wdq = w.dequantize().astype(x.dtype)
+    return jnp.matmul(x, wdq.T)
+
+
+def qlinear(
+    x,
+    w,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """y = x @ w.T + bias with quantized operands."""
+    ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray = _tensor_types()
+    if isinstance(w, WeightQBytesArray):
+        if isinstance(x, ActivationQBytesArray):
+            # Combined scale: per-tensor activation scale times per-axis
+            # weight scale (reference `weights/qbytes.py:68-75`).
+            output = qbytes_mm(x.data, w.data, x.scale * w.scale)
+        else:
+            output = qbytes_mm(x, w.data, w.scale)
+    elif isinstance(w, WeightQBitsArray):
+        if isinstance(x, ActivationQBytesArray):
+            # No int-mm path for sub-byte weights: dequantize the activations
+            # (the reference behaves identically through qfallback).
+            x = x.dequantize()
+        output = _qbits_mm(x, w)
+    else:
+        if isinstance(x, ActivationQBytesArray):
+            x = x.dequantize()
+        output = jnp.matmul(x, w.T)
+    if bias is not None:
+        output = output + bias
+    return output

@@ -1,0 +1,190 @@
+"""Scale/shift optimizers for weight quantization.
+
+Pure-jnp analogues of the reference optimizer hierarchy
+(`optimum/quanto/tensor/optimizers/`): symmetric optimizers return a scale,
+affine optimizers a (scale, shift) pair, optionally group-wise, optionally
+with an integer zero-point. `HqqOptimizer` implements the Half-Quadratic
+Quantization shift refinement (reference `optimizers/hqq_optimizer.py:28-87`,
+itself an adaptation of mobiusml/hqq).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from .grouped import group
+from .qtype import qtype
+
+
+__all__ = [
+    "Optimizer",
+    "SymmetricOptimizer",
+    "AffineOptimizer",
+    "AbsmaxOptimizer",
+    "MaxOptimizer",
+    "HqqOptimizer",
+]
+
+
+def _reduce_dims(ndim: int, axis: int):
+    """Dims to reduce when keeping one value per `axis` entry."""
+    return tuple(range(1, ndim)) if axis == 0 else tuple(range(0, ndim - 1))
+
+
+class Optimizer:
+    """Base class (reference `optimizers/optimizer.py:24-28`)."""
+
+    def __call__(self, base: jnp.ndarray, qt: qtype, axis: int, **kwargs):
+        raise NotImplementedError
+
+
+class SymmetricOptimizer(Optimizer):
+    """Returns a scale only; used for 8-bit symmetric quantization."""
+
+    def __call__(self, base: jnp.ndarray, qt: qtype, axis: Optional[int] = None) -> jnp.ndarray:
+        if axis not in (None, 0, -1):
+            raise ValueError("axis parameter must be None, 0 (first axis) or -1 (last axis)")
+        if axis is not None and base.shape[axis] == 1:
+            axis = None
+        scale = self.optimize(base, qt, axis)
+        return scale.astype(base.dtype)
+
+    def optimize(self, base: jnp.ndarray, qt: qtype, axis: Optional[int]) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class AbsmaxOptimizer(SymmetricOptimizer):
+    """scale = max|t| / qmax (reference `optimizers/absmax_optimizer.py:26-37`)."""
+
+    def optimize(self, base: jnp.ndarray, qt: qtype, axis: Optional[int]) -> jnp.ndarray:
+        base = jnp.abs(base).astype(jnp.float32)
+        if axis is None:
+            rmax = jnp.max(base)
+        else:
+            rmax = jnp.max(base, axis=_reduce_dims(base.ndim, axis), keepdims=True)
+        return rmax / qt.qmax
+
+
+class AffineOptimizer(Optimizer):
+    """Returns (scale, shift); used for sub-byte affine quantization."""
+
+    def __call__(
+        self,
+        base: jnp.ndarray,
+        qt: qtype,
+        axis: int,
+        group_size: Optional[int] = None,
+        zeropoint: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if axis not in (0, -1):
+            raise ValueError("axis parameter must be 0 (first axis) or -1 (last axis)")
+        if group_size is not None:
+            base = group(base, axis, group_size)
+        if axis is not None and base.shape[axis] == 1:
+            axis = None
+        scale, shift = self.optimize(base, qt, axis)
+        scale = scale.astype(base.dtype)
+        shift = shift.astype(base.dtype)
+        if zeropoint:
+            # Round the shift so that zero has an exact quantized representation.
+            shift = jnp.clip(jnp.round(shift / scale), 0, 2**qt.bits - 1).astype(jnp.uint8)
+        return scale, shift
+
+    def optimize(
+        self, base: jnp.ndarray, qt: qtype, axis: Optional[int]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        raise NotImplementedError
+
+
+class MaxOptimizer(AffineOptimizer):
+    """scale = (rmax - rmin) / (qmax - qmin), shift = -rmin
+    (reference `optimizers/max_optimizer.py:26-37`)."""
+
+    def optimize(
+        self, base: jnp.ndarray, qt: qtype, axis: Optional[int]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        basef = base.astype(jnp.float32)
+        if axis is None:
+            rmin = jnp.min(basef)
+            rmax = jnp.max(basef)
+        else:
+            dims = _reduce_dims(basef.ndim, axis)
+            rmin = jnp.min(basef, axis=dims, keepdims=True)
+            rmax = jnp.max(basef, axis=dims, keepdims=True)
+        qmin = -(2 ** (qt.bits - 1))
+        qmax = 2 ** (qt.bits - 1) - 1
+        scale = (rmax - rmin) / (qmax - qmin)
+        shift = -rmin
+        return scale, shift
+
+
+def _shrink_lp(x: jnp.ndarray, beta: float, lp_norm: float) -> jnp.ndarray:
+    if lp_norm == 1:
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - 1.0 / beta, 0.0)
+    return jnp.sign(x) * jnp.maximum(
+        jnp.abs(x) - (1.0 / beta) * jnp.power(jnp.abs(x), lp_norm - 1), 0.0
+    )
+
+
+class HqqOptimizer(MaxOptimizer):
+    """Half-Quadratic Quantization: iterative lp-shrink refinement of the shift.
+
+    Runs eagerly (data-dependent early stopping, like the reference
+    `optimizers/hqq_optimizer.py:48-87`); intended for offline weight
+    preparation, not the jitted hot path.
+    """
+
+    def __init__(
+        self,
+        lp_norm: float = 0.7,
+        beta: float = 1e1,
+        kappa: float = 1.01,
+        iters: int = 20,
+        verbose: bool = False,
+    ) -> None:
+        self.lp_norm = lp_norm
+        self.beta = beta
+        self.kappa = kappa
+        self.iters = iters
+        self.verbose = verbose
+
+    def optimize(
+        self, base: jnp.ndarray, qt: qtype, axis: Optional[int]
+    ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        # Local import: quantize_weight depends on this module's siblings.
+        from .weights import quantize_weight
+
+        scale, shift = super().optimize(base, qt, axis)
+        scale = scale.astype(base.dtype)
+        shift = shift.astype(base.dtype)
+        best_error = None
+        best_shift = shift
+        beta = self.beta
+        base_q = quantize_weight(base, qt, axis if axis is not None else 0, scale, shift=shift)
+        deq = base_q.dequantize()
+        for i in range(self.iters):
+            error = base - deq
+            if best_error is None:
+                best_error = float(jnp.mean(jnp.abs(error)))
+                if self.verbose:
+                    print(f"Start error: {best_error:.6f}")
+            e = _shrink_lp(error, beta, self.lp_norm)
+            mean_axis = 0 if axis == -1 else -1
+            hqq_shift = jnp.mean(deq + shift - (base - e), axis=mean_axis, keepdims=True)
+            base_q = quantize_weight(
+                base, qt, axis if axis is not None else 0, scale, shift=hqq_shift
+            )
+            deq = base_q.dequantize()
+            shift = hqq_shift
+            mean_error = float(jnp.mean(jnp.abs(base - deq)))
+            if self.verbose:
+                print(f"HQQ error at it #{i}: {mean_error:.6f}")
+            if mean_error < best_error:
+                best_error = mean_error
+                best_shift = hqq_shift
+                beta *= self.kappa
+            else:
+                break
+        return scale, best_shift

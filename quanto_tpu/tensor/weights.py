@@ -1,0 +1,247 @@
+"""Quantized weights.
+
+Functional analogues of the reference weight tensors:
+- `WeightQBytesArray` ≈ `WeightQBytesTensor` (`tensor/weights/qbytes.py:31-326`):
+  8-bit (int8/fp8) symmetric, per-tensor or per-axis.
+- `WeightQBitsArray` ≈ `WeightQBitsTensor` (`tensor/weights/qbits.py:34-317`):
+  int2/int4 affine with scale+shift, optionally group-wise, payload bit-packed.
+
+The reference selects kernel-specific subclasses (AWQ / TinyGemm / Marlin) in
+`create()` and converts back to the generic layout before serialization.
+The TPU analogue of those optimized layouts lives in `quanto_tpu.ops.pallas`
+(MXU-tile-native packing); the *serialized* layout here stays kernel-agnostic
+and bit-compatible with quanto checkpoints.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quantize import (
+    dequantize_affine,
+    dequantize_symmetric,
+    quantize_affine,
+    quantize_symmetric,
+)
+from .grouped import grouped_shape, ungroup
+from .packed import PackedArray
+from .qarray import QArray, register_qarray
+from .qtype import qtype
+
+
+__all__ = ["WeightQBytesArray", "WeightQBitsArray", "quantize_weight", "fake_quantize_weight"]
+
+
+@register_qarray
+class WeightQBytesArray(QArray):
+    """8-bit symmetric weights: int8 or fp8 `_data` with per-tensor/per-axis `_scale`."""
+
+    _data: jnp.ndarray
+    _scale: jnp.ndarray
+    qtype: qtype
+    axis: Optional[int]
+    float_dtype: jnp.dtype
+    activation_qtype: Optional[qtype]
+
+    @classmethod
+    def quantize(
+        cls,
+        base: jnp.ndarray,
+        qt: qtype,
+        axis: Optional[int],
+        scale: jnp.ndarray,
+        activation_qtype: Optional[qtype] = None,
+    ) -> "WeightQBytesArray":
+        data = quantize_symmetric(base, qt, axis, scale)
+        return cls(
+            _data=data,
+            _scale=jnp.asarray(scale),
+            qtype=qt,
+            axis=axis,
+            float_dtype=jnp.dtype(base.dtype),
+            activation_qtype=activation_qtype,
+        )
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self._data.shape)
+
+    @property
+    def dtype(self):
+        return self.float_dtype
+
+    @property
+    def data(self) -> jnp.ndarray:
+        return self._data
+
+    @property
+    def scale(self) -> jnp.ndarray:
+        return self._scale
+
+    def dequantize(self) -> jnp.ndarray:
+        return dequantize_symmetric(self._data, self._scale, self.float_dtype)
+
+    def transpose(self) -> "WeightQBytesArray":
+        """2D transpose, flipping the quantization axis (reference `qbytes.py:294-320`)."""
+        if self.ndim != 2:
+            raise ValueError("transpose is only supported for 2D weights")
+        new_axis = None if self.axis is None else (0 if self.axis == -1 else -1)
+        scale = self._scale
+        if self.axis is not None:
+            scale = scale.T
+        return WeightQBytesArray(
+            _data=self._data.T,
+            _scale=scale,
+            qtype=self.qtype,
+            axis=new_axis,
+            float_dtype=self.float_dtype,
+            activation_qtype=self.activation_qtype,
+        )
+
+
+@register_qarray
+class WeightQBitsArray(QArray):
+    """Sub-byte (int2/int4) affine weights.
+
+    `_data` is a `PackedArray` of unsigned codes in grouped layout, `_scale`
+    and `_shift` broadcast against the grouped shape. A float `_shift` is a
+    pre-scale offset; an integer `_shift` is a zero-point (reference
+    `tensor/qbits.py:27-68`).
+    """
+
+    _data: PackedArray
+    _scale: jnp.ndarray
+    _shift: jnp.ndarray
+    qtype: qtype
+    axis: int
+    group_size: Optional[int]
+    orig_shape: Tuple[int, ...]
+    float_dtype: jnp.dtype
+
+    @classmethod
+    def quantize(
+        cls,
+        base: jnp.ndarray,
+        qt: qtype,
+        axis: int,
+        group_size: Optional[int],
+        scale: jnp.ndarray,
+        shift: jnp.ndarray,
+    ) -> "WeightQBitsArray":
+        data = quantize_affine(base, qt.bits, axis, group_size, scale, shift)
+        packed = PackedArray.pack(data, qt.bits)
+        return cls(
+            _data=packed,
+            _scale=jnp.asarray(scale),
+            _shift=jnp.asarray(shift),
+            qtype=qt,
+            axis=axis,
+            group_size=group_size,
+            orig_shape=tuple(base.shape),
+            float_dtype=jnp.dtype(base.dtype),
+        )
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.orig_shape
+
+    @property
+    def dtype(self):
+        return self.float_dtype
+
+    @property
+    def data(self) -> PackedArray:
+        return self._data
+
+    @property
+    def scale(self) -> jnp.ndarray:
+        return self._scale
+
+    @property
+    def shift(self) -> jnp.ndarray:
+        return self._shift
+
+    def dequantize(self) -> jnp.ndarray:
+        codes = self._data.unpack()
+        grouped = dequantize_affine(codes, self._scale, self._shift, jnp.float32)
+        return ungroup(grouped, self.axis, self.orig_shape).astype(self.float_dtype)
+
+
+def quantize_weight(
+    t: jnp.ndarray,
+    qt: qtype,
+    axis: Optional[int],
+    scale: jnp.ndarray,
+    shift: Optional[jnp.ndarray] = None,
+    group_size: Optional[int] = None,
+    activation_qtype: Optional[qtype] = None,
+):
+    """Quantize a weight array (always per-axis or grouped).
+
+    Front-door mirroring the reference (`tensor/weights/quantization.py:27-73`):
+    8-bit qtypes forbid shift/group_size and collapse a size-1 axis to
+    per-tensor; sub-byte qtypes require a shift.
+    """
+    if axis not in (0, -1):
+        raise ValueError("axis parameter must be 0 (first axis) or -1 (last axis)")
+    if qt.bits == 8:
+        if shift is not None:
+            raise ValueError("shift cannot be specified for 8-bit qtypes")
+        if group_size is not None:
+            raise ValueError("group_size cannot be specified for 8-bit qtypes.")
+        if axis is not None and t.shape[axis] == 1:
+            axis = None
+        return WeightQBytesArray.quantize(t, qt, axis, scale, activation_qtype)
+    if shift is None:
+        raise ValueError("shift must be specified for qtypes lower than 8-bit")
+    return WeightQBitsArray.quantize(t, qt, axis, group_size, scale, shift)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 5))
+def fake_quantize_weight(
+    t: jnp.ndarray,
+    qt: qtype,
+    axis: Optional[int],
+    scale: jnp.ndarray,
+    shift: Optional[jnp.ndarray],
+    group_size: Optional[int],
+) -> jnp.ndarray:
+    """Quantize-dequantize round trip with straight-through gradients.
+
+    This is the QAT path: the reference achieves the same effect with
+    identity-backward autograd Functions on its quantizers
+    (`weights/qbytes.py:62-65`, `weights/qbits.py:59-62`). Gradients flow
+    unchanged to `t`; scale and shift receive none.
+    """
+    qw = quantize_weight(t, qt, axis, scale, shift=shift, group_size=group_size)
+    return qw.dequantize().astype(t.dtype)
+
+
+def _fake_qw_fwd(t, qt, axis, scale, shift, group_size):
+    out = fake_quantize_weight(t, qt, axis, scale, shift, group_size)
+    return out, (jnp.asarray(scale), None if shift is None else jnp.asarray(shift))
+
+
+def _fake_qw_bwd(qt, axis, group_size, res, g):
+    scale, shift = res
+    return (g, jnp.zeros_like(scale), None if shift is None else jnp.zeros_like(shift))
+
+
+fake_quantize_weight.defvjp(_fake_qw_fwd, _fake_qw_bwd)
+
+
+def weight_qbits_grouped_meta(shape: Tuple[int, ...], axis: int, group_size: Optional[int]):
+    """Shapes of the grouped codes/scale for a logical weight `shape`.
+
+    Used by deserialization to rebuild `WeightQBitsArray` from flat tensors
+    (reference `weights/qbits.py:166-199`).
+    """
+    if group_size is not None:
+        gshape = grouped_shape(shape, axis, group_size)
+    else:
+        gshape = tuple(shape)
+    return gshape
