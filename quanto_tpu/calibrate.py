@@ -1,0 +1,155 @@
+"""Activation-scale calibration.
+
+NNX analogue of the reference `Calibration` TorchFunctionMode
+(`optimum/quanto/calibrate.py:64-189`) and `absmax_scale` helper
+(`calibrate.py:37-61`). The reference intercepts every torch function via
+global hooks; in the functional NNX design, quantized modules call back into
+the active `Calibration` object from their `__call__` when their
+`calibrating` flag is set, and the EMA scale updates mutate NNX variables.
+
+Calibration runs eagerly (un-jitted): the per-batch absmax reductions are
+tiny compared to the forward pass and the scales must persist between
+batches.
+
+Streamline: the reference tracks — via runtime interception — which module
+outputs are only ever consumed by quantization-incompatible functions, and
+disables output quantization for those (`calibrate.py:90-105,158-164`). In a
+functional graph we cannot observe consumers at runtime; instead, modules
+whose outputs were never consumed as quantized arrays during calibration are
+detected by our model implementations explicitly consuming `QArray` inputs
+(e.g. attention int8 bmm). With `streamline=True` (the default, like the
+reference) output quantization is disabled on exit for every module that was
+not marked as having a quantized consumer via `mark_quantized_consumer`.
+On transformer-style models this matches the reference's net effect, where
+nearly all linear outputs feed adds/norms and lose their quantization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .nn.qmodule import QModuleMixin
+from .quantize import named_qmodules
+from .tensor.optimizers import AbsmaxOptimizer
+from .tensor.qarray import QArray
+from .tensor.qtype import qtype, qint8
+
+
+__all__ = ["absmax_scale", "Calibration"]
+
+
+def absmax_scale(base: jnp.ndarray, qt: qtype = qint8, axis: Optional[int] = None) -> jnp.ndarray:
+    """Symmetric absmax scale of an array (reference `calibrate.py:37-61`)."""
+    return AbsmaxOptimizer()(base, qt, axis)
+
+
+def _updated_scale(scale: jnp.ndarray, new_scale: jnp.ndarray, momentum: float) -> jnp.ndarray:
+    """EMA update; adopt the new scale outright while uninitialized (== 1).
+
+    Mirrors the reference `_updated_scale` (`calibrate.py:31-34`).
+    """
+    new_scale = jnp.asarray(new_scale, dtype=jnp.float32).reshape(())
+    if float(scale) == 1.0:
+        return new_scale
+    return momentum * jnp.asarray(scale, jnp.float32) + new_scale * (1.0 - momentum)
+
+
+class Calibration:
+    """Context manager calibrating the activation scales of quantized modules.
+
+    Usage::
+
+        with Calibration(model, momentum=0.9):
+            for batch in samples:
+                model(batch)
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        momentum: float = 0.9,
+        streamline: bool = True,
+        debug: bool = False,
+    ):
+        self.model = model
+        self.momentum = momentum
+        self.streamline = streamline
+        self.debug = debug
+        # name lookup for debug traces
+        self._names = {}
+        # modules whose outputs ARE consumed quantized (streamline keeps them)
+        self._quantized_consumers = set()
+
+    # --- hooks called by QModuleMixin ---------------------------------------
+
+    def calibrate_input(self, module: QModuleMixin, x) -> None:
+        """Update the module input scale from a batch
+        (reference `calibrate.py:120-137`)."""
+        if module.activation_qtype is None:
+            return
+        if isinstance(x, QArray):
+            # Donwstream of a quantized producer: adopt the max of both scales
+            # (reference `calibrate.py:127-129`).
+            new_scale = jnp.maximum(
+                jnp.asarray(module.input_scale.get_value(), jnp.float32),
+                jnp.asarray(x.scale, jnp.float32).reshape(()),
+            )
+            module.input_scale.set_value(new_scale)
+            self._quantized_consumers.add(id(module))
+            return
+        batch_scale = absmax_scale(x, module.activation_qtype)
+        module.input_scale.set_value(
+            _updated_scale(module.input_scale.get_value(), batch_scale, self.momentum)
+        )
+        if self.debug:
+            name = self._names.get(id(module), type(module).__name__)
+            print(f"[calibrate] {name}.input_scale <- {float(module.input_scale.get_value()):.6g}")
+
+    def calibrate_output(self, module: QModuleMixin, out) -> None:
+        """Update the module output scale from a batch
+        (reference `calibrate.py:139-155`)."""
+        if module.activation_qtype is None:
+            return
+        if isinstance(out, QArray):
+            out = out.dequantize()
+        batch_scale = absmax_scale(out, module.activation_qtype)
+        module.output_scale.set_value(
+            _updated_scale(module.output_scale.get_value(), batch_scale, self.momentum)
+        )
+        if self.debug:
+            name = self._names.get(id(module), type(module).__name__)
+            print(f"[calibrate] {name}.output_scale <- {float(module.output_scale.get_value()):.6g}")
+
+    def mark_quantized_consumer(self, module: QModuleMixin) -> None:
+        """Mark a module whose output is consumed as a quantized array, so
+        streamline keeps its output quantization enabled."""
+        self._quantized_consumers.add(id(module))
+
+    # --- context manager ------------------------------------------------------
+
+    def __enter__(self) -> "Calibration":
+        for name, m in named_qmodules(self.model):
+            self._names[id(m)] = name
+            m.calibrating = True
+            m._calibration = self
+            # During calibration outputs stay unquantized so output scales see
+            # true ranges (the reference quantizes with the live scale; the
+            # EMA converges to the same values either way).
+            m._pre_calibration_quantize_outputs = m.quantize_outputs
+            m.quantize_outputs = False
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback) -> None:
+        for _name, m in named_qmodules(self.model):
+            m.calibrating = False
+            m._calibration = None
+            restore = getattr(m, "_pre_calibration_quantize_outputs", m.quantize_outputs)
+            if self.streamline and id(m) not in self._quantized_consumers:
+                m.quantize_outputs = False
+            else:
+                m.quantize_outputs = restore
+            if hasattr(m, "_pre_calibration_quantize_outputs"):
+                del m._pre_calibration_quantize_outputs

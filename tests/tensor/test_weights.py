@@ -77,7 +77,10 @@ def test_weight_pytree_and_jit():
     def deq(qw):
         return qw.dequantize()
 
-    np.testing.assert_array_equal(np.asarray(deq(qw)), np.asarray(qw.dequantize()))
+    # jit may fuse the scale multiply into an FMA: allow 1-ulp differences.
+    np.testing.assert_allclose(
+        np.asarray(deq(qw)), np.asarray(qw.dequantize()), rtol=1e-6, atol=1e-7
+    )
 
 
 def test_weight_qbytes_transpose():
