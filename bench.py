@@ -1,0 +1,106 @@
+"""Headline benchmark: int8 weight-only llama decode throughput vs bf16.
+
+Mirrors the reference's generation latency protocol
+(`bench/generation/metrics/latency.py:24-62`: batch 1, prompt 512, new tokens
+measured with explicit synchronization) but TPU-shaped: the whole decode loop
+is one jitted lax.scan, so tokens/s measures the model, not the host loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup of the quantized model over the bf16 baseline on
+the same hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    import quanto_tpu as qt
+    from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quanto_tpu.models.llama import init_kv_cache
+    from quanto_tpu.models.serve import make_decode_fn, make_prefill_fn
+
+    on_tpu = jax.default_backend() == "tpu"
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    # ~1B-parameter llama on TPU; tiny on CPU (CI smoke).
+    if on_tpu:
+        config = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+            max_position_embeddings=2048, dtype=jnp.bfloat16,
+        )
+        prompt_len, new_tokens, batch = 512, 128, 1
+    else:
+        config = LlamaConfig(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=1024, dtype=jnp.float32,
+        )
+        prompt_len, new_tokens, batch = 32, 16, 1
+
+    cache_len = prompt_len + new_tokens
+
+    def bench_model(model, tag):
+        graphdef, state = nnx.split(model)
+        decode = make_decode_fn(graphdef, new_tokens)
+        # Decode speed does not depend on cache *contents*: start from a
+        # zero-filled cache at position `prompt_len`. Prefill compile is
+        # excluded — the metric is per-token decode latency, matching the
+        # reference's per-token generation latency protocol.
+        cache = init_kv_cache(config, batch, cache_len, config.dtype)
+        first = jnp.zeros((batch, 1), jnp.int32)
+
+        def sync(x):
+            # device_get of a data-dependent scalar: block_until_ready is not
+            # reliable through the axon tunnel.
+            return int(jax.device_get(jnp.sum(x)))
+
+        t0 = time.time()
+        toks, _ = decode(state, first, cache, prompt_len)
+        sync(toks)
+        log(f"{tag}: warmup+compile {time.time()-t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            toks, _ = decode(state, first, cache, prompt_len)
+            sync(toks)
+            best = min(best, time.time() - t0)
+        tps = batch * new_tokens / best
+        log(f"{tag}: {tps:.1f} tok/s ({best*1e3/new_tokens:.2f} ms/tok)")
+        return tps
+
+    log("building bf16 baseline...")
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    bf16_tps = bench_model(model, "bf16")
+
+    log("quantizing to int8 (weight-only, lm_head excluded)...")
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    int8_tps = bench_model(model, "int8")
+
+    print(json.dumps({
+        "metric": "llama1b_decode_int8_tok_s",
+        "value": round(int8_tps, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(int8_tps / bf16_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+from .llama import KVCache, LlamaConfig, LlamaForCausalLM, init_kv_cache
+from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .loading import hf_state_dict, load_hf_state_dict
+from .transformers_models import (
+    QuantizedModelForCausalLM,
+    QuantizedTransformersModel,
+    build_model,
+    from_pretrained_float,
+)

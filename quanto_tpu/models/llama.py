@@ -1,0 +1,311 @@
+"""Llama-family causal LM in flax NNX (covers Llama 2/3, Mistral, Qwen2-style
+configs: RMSNorm + rotary + GQA + SwiGLU MLP).
+
+The reference library does not implement models — it quantizes Hugging Face
+torch modules in place (`optimum/quanto/models/transformers_models.py`). A
+TPU-native framework needs its own forward implementations, so this module
+provides the transformer itself, built from `nnx.Linear`/`nnx.Embed` so that
+`quanto_tpu.quantize()` can swap the projections for `QLinear`s exactly like
+the reference swaps `torch.nn.Linear`.
+
+Module attribute names follow the Hugging Face llama layout
+(`model.layers.N.self_attn.q_proj` etc.) so quantization maps, include/exclude
+patterns and serialized state dicts transfer 1:1 from torch quanto models.
+
+TPU notes: static shapes everywhere; decode uses a preallocated KV cache
+updated with `lax.dynamic_update_slice` (jit/pjit friendly); attention is
+einsum-based so XLA maps it onto the MXU; the KV cache can be stored
+quantized (int8/fp8) via `kv_quant` for HBM savings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax import lax
+
+
+__all__ = ["LlamaConfig", "LlamaForCausalLM", "KVCache"]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        if self.num_key_value_heads is None:
+            object.__setattr__(self, "num_key_value_heads", self.num_attention_heads)
+        if self.head_dim is None:
+            object.__setattr__(self, "head_dim", self.hidden_size // self.num_attention_heads)
+
+    @classmethod
+    def from_hf(cls, config, dtype=jnp.bfloat16) -> "LlamaConfig":
+        """Build from a transformers PretrainedConfig (Llama/Mistral/Qwen2)."""
+        get = lambda k, d=None: getattr(config, k, d)
+        return cls(
+            vocab_size=config.vocab_size,
+            hidden_size=config.hidden_size,
+            intermediate_size=config.intermediate_size,
+            num_hidden_layers=config.num_hidden_layers,
+            num_attention_heads=config.num_attention_heads,
+            num_key_value_heads=get("num_key_value_heads"),
+            head_dim=get("head_dim"),
+            max_position_embeddings=get("max_position_embeddings", 4096),
+            rms_norm_eps=get("rms_norm_eps", 1e-6),
+            rope_theta=get("rope_theta", 10000.0),
+            tie_word_embeddings=get("tie_word_embeddings", False),
+            attention_bias=get("attention_bias", False),
+            mlp_bias=get("mlp_bias", False),
+            dtype=dtype,
+        )
+
+
+class RMSNorm(nnx.Module):
+    def __init__(self, dim: int, eps: float = 1e-6, dtype=jnp.float32):
+        self.weight = nnx.Param(jnp.ones((dim,), dtype))
+        self.eps = eps
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        out = xf * lax.rsqrt(var + self.eps)
+        return (out * self.weight.get_value().astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(positions: jnp.ndarray, head_dim: int, theta: float, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the given positions, HF 'half-rotation' layout."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, D/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(x, cos, sin):
+    # x: [B, T, H, D]; cos/sin: [B, T, D] -> broadcast over heads.
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return x * cos + _rotate_half(x) * sin
+
+
+# KV cache: (k, v) per layer, [B, max_len, n_kv_heads, head_dim], plus the
+# current fill length (traced scalar). A plain pytree so it flows through
+# jit / NamedSharding without special cases.
+KVCache = Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
+
+
+def init_kv_cache(config: LlamaConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+    dtype = dtype or config.dtype
+    shape = (batch, max_len, config.num_key_value_heads, config.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(config.num_hidden_layers)
+    )
+
+
+class LlamaAttention(nnx.Module):
+    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
+        c = config
+        self.num_heads = c.num_attention_heads
+        self.num_kv_heads = c.num_key_value_heads
+        self.head_dim = c.head_dim
+        self.q_proj = nnx.Linear(c.hidden_size, self.num_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
+        self.k_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
+        self.v_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
+        self.o_proj = nnx.Linear(self.num_heads * self.head_dim, c.hidden_size, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
+
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+        from ..tensor.qarray import QArray
+
+        B, T, _ = x.shape
+        q = self.q_proj(x)
+        k = self.k_proj(x)
+        v = self.v_proj(x)
+        q, k, v = (a.dequantize() if isinstance(a, QArray) else a for a in (q, k, v))
+        q = q.reshape(B, T, self.num_heads, self.head_dim)
+        k = k.reshape(B, T, self.num_kv_heads, self.head_dim)
+        v = v.reshape(B, T, self.num_kv_heads, self.head_dim)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+
+        new_cache = None
+        if layer_cache is not None:
+            ck, cv = layer_cache
+            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+            new_cache = (ck, cv)
+            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+
+        # Grouped-query attention: repeat kv heads up to q heads.
+        groups = self.num_heads // self.num_kv_heads
+        if groups > 1:
+            k = jnp.repeat(k, groups, axis=2)
+            v = jnp.repeat(v, groups, axis=2)
+
+        # [B, H, Tq, Tk] logits on the MXU; accumulate in f32.
+        scale = self.head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale + mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, T, self.num_heads * self.head_dim)
+        out = self.o_proj(out)
+        if isinstance(out, QArray):
+            out = out.dequantize()
+        return out, new_cache
+
+
+class LlamaMLP(nnx.Module):
+    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
+        c = config
+        self.gate_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        self.up_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        self.down_proj = nnx.Linear(c.intermediate_size, c.hidden_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+
+    def __call__(self, x):
+        from ..tensor.qarray import QArray
+
+        g = self.gate_proj(x)
+        u = self.up_proj(x)
+        g, u = (a.dequantize() if isinstance(a, QArray) else a for a in (g, u))
+        out = self.down_proj(jax.nn.silu(g) * u)
+        return out.dequantize() if isinstance(out, QArray) else out
+
+
+class LlamaDecoderLayer(nnx.Module):
+    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
+        self.self_attn = LlamaAttention(config, rngs)
+        self.mlp = LlamaMLP(config, rngs)
+        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype)
+        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype)
+
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
+        x = x + h
+        x = x + self.mlp(self.post_attention_layernorm(x))
+        return x, new_cache
+
+
+class LlamaModel(nnx.Module):
+    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
+        c = config
+        self.embed_tokens = nnx.Embed(c.vocab_size, c.hidden_size, param_dtype=c.dtype, rngs=rngs)
+        self.layers = nnx.List([LlamaDecoderLayer(c, rngs) for _ in range(c.num_hidden_layers)])
+        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
+
+
+class LlamaForCausalLM(nnx.Module):
+    """Causal LM head over LlamaModel, HF-compatible module names."""
+
+    def __init__(self, config: LlamaConfig, rngs: Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.config = config
+        self.model = LlamaModel(config, rngs)
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        else:
+            self.lm_head = nnx.Linear(
+                config.hidden_size, config.vocab_size, use_bias=False,
+                param_dtype=config.dtype, rngs=rngs,
+            )
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        cache: Optional[KVCache] = None,
+        cache_pos=0,
+    ):
+        """Forward pass.
+
+        Without a cache: full causal self-attention over `input_ids` [B, T].
+        With a cache: attends over `cache[:, :max_len]`; the current tokens
+        are written at `cache_pos` (prefill with T>1 or decode with T=1).
+        Returns (logits [B, T, vocab], new_cache or None).
+        """
+        from ..tensor.qarray import QArray
+
+        c = self.config
+        B, T = input_ids.shape
+        x = self.model.embed_tokens(input_ids)
+        positions = cache_pos + jnp.arange(T)[None, :]  # [1, T] broadcasting over B
+        positions = jnp.broadcast_to(positions, (B, T))
+        cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
+
+        if cache is None:
+            # [1, 1, T, T] causal mask.
+            mask = jnp.where(
+                jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min
+            )[None, None, :, :]
+        else:
+            max_len = cache[0][0].shape[1]
+            # Query i (global pos cache_pos+i) attends to cache slots <= its pos.
+            q_pos = cache_pos + jnp.arange(T)[:, None]
+            k_pos = jnp.arange(max_len)[None, :]
+            mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None, :, :]
+
+        new_cache = [] if cache is not None else None
+        for i, layer in enumerate(self.model.layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            if cache is not None:
+                new_cache.append(lc)
+
+        x = self.model.norm(x)
+        if self.lm_head is None:
+            emb = self.model.embed_tokens.embedding.get_value()
+            if isinstance(emb, QArray):
+                emb = emb.dequantize()
+            logits = x @ emb.T.astype(x.dtype)
+        else:
+            logits = self.lm_head(x)
+            if isinstance(logits, QArray):
+                logits = logits.dequantize()
+        return logits, (tuple(new_cache) if new_cache is not None else None)
+
+    # --- generation ------------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: jnp.ndarray,
+        max_new_tokens: int,
+        *,
+        cache_len: Optional[int] = None,
+        cache_dtype=None,
+    ) -> jnp.ndarray:
+        """Greedy decode with a static-shape KV cache (eager convenience
+        wrapper; the jitted serving path lives in `quanto_tpu.models.serve`)."""
+        B, T = input_ids.shape
+        total = T + max_new_tokens
+        cache_len = cache_len or total
+        cache = init_kv_cache(self.config, B, cache_len, cache_dtype)
+        logits, cache = self(input_ids, cache, 0)
+        next_tok = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        tokens = [input_ids, next_tok]
+        pos = T
+        for _ in range(max_new_tokens - 1):
+            logits, cache = self(next_tok, cache, pos)
+            next_tok = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+            tokens.append(next_tok)
+            pos += 1
+        return jnp.concatenate(tokens, axis=1)

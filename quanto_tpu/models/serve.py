@@ -1,0 +1,78 @@
+"""Jitted serving helpers: prefill + scan-based greedy decode.
+
+TPU-native serving shape: the whole decode loop lives inside one jitted
+`lax.scan`, so a single device call generates N tokens — weights and KV cache
+never leave HBM and there is no per-token host round-trip (the torch
+reference generates token-by-token from Python, `bench/generation/metrics/latency.py`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax import lax
+
+
+__all__ = ["make_prefill_fn", "make_decode_fn", "generate"]
+
+
+def make_prefill_fn(graphdef):
+    """Jitted prefill: (state, ids [B,T], cache, pos0) -> (logits, cache)."""
+
+    @jax.jit
+    def prefill(state, ids, cache, pos0=0):
+        model = nnx.merge(graphdef, state)
+        return model(ids, cache, pos0)
+
+    return prefill
+
+
+def make_decode_fn(graphdef, n_tokens: int):
+    """Jitted greedy decode of `n_tokens` via lax.scan (single device call).
+
+    Returns fn(state, tok [B,1], cache, pos0) -> (tokens [B,n], cache).
+    """
+
+    @jax.jit
+    def decode(state, tok, cache, pos0):
+        model = nnx.merge(graphdef, state)
+
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = model(tok, cache, pos)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)[:, None]
+            return (nxt, pos + 1, cache), nxt[:, 0]
+
+        (_, _, cache), toks = lax.scan(
+            body, (tok, jnp.asarray(pos0), cache), None, length=n_tokens
+        )
+        return jnp.transpose(toks), cache  # [B, n]
+
+    return decode
+
+
+def generate(model, input_ids: jnp.ndarray, max_new_tokens: int, cache_len: Optional[int] = None):
+    """Greedy generation with jitted prefill + scan decode.
+
+    Unlike `LlamaForCausalLM.generate` (eager, one device call per token),
+    this compiles exactly two programs regardless of sequence length.
+    """
+    from .llama import init_kv_cache
+
+    B, T = input_ids.shape
+    cache_len = cache_len or (T + max_new_tokens)
+    graphdef, state = nnx.split(model)
+    if hasattr(model, "init_kv_cache"):
+        cache = model.init_kv_cache(B, cache_len)
+    else:
+        cache = init_kv_cache(model.config, B, cache_len)
+    prefill = make_prefill_fn(graphdef)
+    decode = make_decode_fn(graphdef, max_new_tokens - 1)
+    logits, cache = prefill(state, input_ids, cache, 0)
+    first = jnp.argmax(logits[:, -1], axis=-1).astype(input_ids.dtype)[:, None]
+    rest, cache = decode(state, first, cache, T)
+    return jnp.concatenate([input_ids, first, rest], axis=1)

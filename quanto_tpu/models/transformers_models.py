@@ -1,0 +1,171 @@
+"""Quantized model wrappers and checkpoint I/O.
+
+TPU-native analogue of the reference HF integration
+(`optimum/quanto/models/transformers_models.py:43-183`): a wrapper class that
+quantizes + freezes a causal LM, saves `model.safetensors` +
+`quanto_qmap.json` + `config.json`, and restores a quantized model from such
+a directory (including directories produced by the torch reference, since the
+tensor names and packing are interoperable).
+
+Unlike the reference (which wraps torch modules from transformers), the
+models themselves are our NNX implementations (`quanto_tpu.models.llama`,
+`quanto_tpu.models.gpt2`), selected by the `model_type` in `config.json`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from ..quantize import freeze as freeze_model
+from ..quantize import get_module_by_name, quantization_map, quantize, set_module_by_name
+from ..nn.qmodule import quantize_module
+from ..utils.safetensors_io import LazySafetensors, load_file, save_file
+from .loading import hf_state_dict, load_hf_state_dict
+
+
+__all__ = [
+    "QuantizedTransformersModel",
+    "QuantizedModelForCausalLM",
+    "build_model",
+    "from_pretrained_float",
+]
+
+QMAP_NAME = "quanto_qmap.json"  # same file name as the reference (`transformers_models.py:48`)
+
+
+def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
+    """Instantiate the right NNX architecture for a transformers config."""
+    from .gpt2 import GPT2Config, GPT2LMHeadModel
+    from .llama import LlamaConfig, LlamaForCausalLM
+
+    model_type = getattr(hf_config, "model_type", None) or hf_config.get("model_type")
+    if model_type in ("llama", "mistral", "qwen2"):
+        return LlamaForCausalLM(LlamaConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "gpt2":
+        return GPT2LMHeadModel(GPT2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    raise ValueError(
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gpt2"
+    )
+
+
+def build_model(hf_config, dtype=jnp.bfloat16, rngs=None):
+    return _build_from_hf_config(hf_config, dtype=dtype, rngs=rngs)
+
+
+def _load_config(directory: str):
+    from transformers import AutoConfig
+
+    return AutoConfig.from_pretrained(directory)
+
+
+def _load_tensors(directory: str):
+    """Single-file or sharded-index safetensors, lazily for shards
+    (reference `transformers_models.py:142-154` + `shared_dict.py`)."""
+    index_path = os.path.join(directory, "model.safetensors.index.json")
+    single_path = os.path.join(directory, "model.safetensors")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        files = sorted({os.path.join(directory, v) for v in index["weight_map"].values()})
+        return LazySafetensors.from_files(files)
+    if os.path.exists(single_path):
+        return load_file(single_path)
+    raise FileNotFoundError(f"No model.safetensors(.index.json) found in {directory}")
+
+
+def from_pretrained_float(directory: str, dtype=jnp.bfloat16):
+    """Load a FLOAT Hugging Face checkpoint into our NNX implementation."""
+    hf_config = _load_config(directory)
+    model = _build_from_hf_config(hf_config, dtype=dtype)
+    tensors = _load_tensors(directory)
+    load_hf_state_dict(model, tensors, dtype=dtype)
+    model._hf_config = hf_config
+    return model
+
+
+class QuantizedTransformersModel:
+    """Wrapper around a quantized NNX model
+    (reference `transformers_models.py:43-179`)."""
+
+    def __init__(self, model):
+        self._wrapped = model
+
+    def __getattr__(self, name):
+        # Forward anything we don't define to the wrapped model
+        # (reference `transformers_models.py:56-62`).
+        return getattr(self._wrapped, name)
+
+    def __call__(self, *args, **kwargs):
+        return self._wrapped(*args, **kwargs)
+
+    @classmethod
+    def quantize(
+        cls,
+        model,
+        weights=None,
+        activations=None,
+        optimizer=None,
+        include=None,
+        exclude=None,
+    ) -> "QuantizedTransformersModel":
+        """Quantize and freeze an NNX model
+        (reference `transformers_models.py:68-112`)."""
+        quantize(
+            model,
+            weights=weights,
+            activations=activations,
+            optimizer=optimizer,
+            include=include,
+            exclude=exclude,
+        )
+        freeze_model(model)
+        return cls(model)
+
+    @classmethod
+    def from_pretrained(cls, directory: str, dtype=jnp.bfloat16) -> "QuantizedTransformersModel":
+        """Reload a quantized model saved by `save_pretrained` (ours or the
+        torch reference's; reference `transformers_models.py:114-163`)."""
+        qmap_path = os.path.join(directory, QMAP_NAME)
+        if not os.path.exists(qmap_path):
+            raise ValueError(
+                f"No {QMAP_NAME} found in {directory}: this is not a quantized model directory."
+            )
+        with open(qmap_path) as f:
+            qmap = json.load(f)
+        hf_config = _load_config(directory)
+        model = _build_from_hf_config(hf_config, dtype=dtype)
+        # Swap quantized modules per the map, then restore tensors.
+        for name, cfg in qmap.items():
+            weights = None if cfg["weights"] == "none" else cfg["weights"]
+            activations = None if cfg["activations"] == "none" else cfg["activations"]
+            try:
+                m = get_module_by_name(model, name)
+            except (AttributeError, KeyError, IndexError):
+                continue
+            qmodule = quantize_module(m, weights=weights, activations=activations, optimizer=None)
+            if qmodule is not None:
+                set_module_by_name(model, name, qmodule)
+        tensors = _load_tensors(directory)
+        load_hf_state_dict(model, tensors, dtype=dtype)
+        model._hf_config = hf_config
+        return cls(model)
+
+    def save_pretrained(self, directory: str) -> None:
+        """Write config.json, quanto_qmap.json and model.safetensors
+        (reference `transformers_models.py:165-179`)."""
+        os.makedirs(directory, exist_ok=True)
+        hf_config = getattr(self._wrapped, "_hf_config", None)
+        if hf_config is not None:
+            hf_config.save_pretrained(directory)
+        with open(os.path.join(directory, QMAP_NAME), "w") as f:
+            json.dump(quantization_map(self._wrapped), f, indent=2)
+        save_file(hf_state_dict(self._wrapped), os.path.join(directory, "model.safetensors"))
+
+
+class QuantizedModelForCausalLM(QuantizedTransformersModel):
+    """Causal-LM flavor (reference `transformers_models.py:182-183`)."""

@@ -1,0 +1,8 @@
+from .sharding import (
+    GPT2_TP_RULES,
+    LLAMA_TP_RULES,
+    ShardingRule,
+    make_mesh,
+    shard_kv_cache,
+    shard_model,
+)

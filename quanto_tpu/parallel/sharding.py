@@ -1,0 +1,181 @@
+"""Sharding of quantized models over a TPU device mesh.
+
+The torch reference is strictly single-device (SURVEY.md §2.10) — this layer
+is new capability, built the TPU way: a `jax.sharding.Mesh` with named axes
+(`"dp"` for batch/data parallel, `"tp"` for tensor parallel), `NamedSharding`
+annotations on parameters, and XLA inserting the collectives (all-gather for
+column-parallel outputs, psum for row-parallel) from the sharding propagation.
+
+QArray sharding rule: `_data` and `_scale` must shard *congruently* — an
+`[out, in]` int8 payload sharded ("tp", None) carries its per-out-channel
+`[out, 1]` scale sharded ("tp", None) as well; a row-parallel (None, "tp")
+payload keeps its scale replicated. `shard_model` applies path-pattern rules
+to every parameter, handling QArray pytrees transparently (their children are
+ordinary leaves).
+
+Megatron-style rules for the llama family are provided in `LLAMA_TP_RULES`:
+column-parallel q/k/v/gate/up projections, row-parallel o/down projections,
+vocab-parallel embedding and lm_head.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tensor.qarray import QArray
+from ..tensor.weights import WeightQBitsArray, WeightQBytesArray
+
+
+__all__ = [
+    "make_mesh",
+    "shard_model",
+    "shard_kv_cache",
+    "LLAMA_TP_RULES",
+    "ShardingRule",
+]
+
+
+def make_mesh(shape: Dict[str, int], devices: Optional[Sequence] = None) -> Mesh:
+    """Create a Mesh from {axis_name: size}; sizes must multiply to #devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    sizes = tuple(shape.values())
+    n = int(np.prod(sizes))
+    if n != len(devices):
+        raise ValueError(f"Mesh shape {shape} needs {n} devices, got {len(devices)}")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, tuple(shape.keys()))
+
+
+# A rule: (path regex, spec for the weight payload). The payload spec applies
+# to the [out, in] torch-convention weight; float flax kernels [in, out] get
+# the transposed spec automatically.
+ShardingRule = Tuple[str, P]
+
+
+# Megatron-style TP layout for the llama family (also fits GPT-2 names when
+# adapted). Patterns are matched with re.search against dotted module paths.
+LLAMA_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(q_proj|k_proj|v_proj|gate_proj|up_proj)\b", P("tp", None)),  # column-parallel
+    (r"\b(o_proj|down_proj)\b", P(None, "tp")),  # row-parallel
+    (r"\bembed_tokens\b", P("tp", None)),  # vocab-parallel embedding [vocab, hidden]
+    (r"\blm_head\b", P("tp", None)),  # vocab-parallel head [vocab, hidden]
+)
+
+GPT2_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(c_attn|c_fc)\b", P("tp", None)),  # column-parallel
+    (r"\bc_proj\b", P(None, "tp")),  # row-parallel
+    (r"\b(wte|wpe)\b", P("tp", None)),
+)
+
+
+def _match_spec(name: str, rules: Iterable[ShardingRule]) -> Optional[P]:
+    for pattern, spec in rules:
+        if re.search(pattern, name):
+            return spec
+    return None
+
+
+def _scale_spec(weight_spec: P) -> P:
+    """Per-out-channel scales [out, 1] follow the weight's out-axis shard."""
+    out_axis = weight_spec[0] if len(weight_spec) > 0 else None
+    return P(out_axis, None)
+
+
+def _bias_spec(weight_spec: P) -> P:
+    out_axis = weight_spec[0] if len(weight_spec) > 0 else None
+    return P(out_axis)
+
+
+def _put(arr, mesh: Mesh, spec: P):
+    if arr is None:
+        return None
+    # Pad-free sharding only: fall back to replication when the axis size
+    # does not divide the dimension.
+    for dim, axis in zip(arr.shape, tuple(spec) + (None,) * (arr.ndim - len(spec))):
+        if axis is not None and dim % mesh.shape[axis] != 0:
+            spec = P()
+            break
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def _shard_qweight(qw: QArray, mesh: Mesh, spec: P):
+    if isinstance(qw, WeightQBytesArray):
+        sspec = _scale_spec(spec) if qw.axis is not None else P()
+        return WeightQBytesArray(
+            _data=_put(qw._data, mesh, spec),
+            _scale=_put(qw._scale, mesh, sspec),
+            qtype=qw.qtype,
+            axis=qw.axis,
+            float_dtype=qw.float_dtype,
+            activation_qtype=qw.activation_qtype,
+        )
+    if isinstance(qw, WeightQBitsArray):
+        # Packed sub-byte payloads use the grouped (row-major) layout packed
+        # along axis 0: rows mix output channels, so only column-parallel
+        # sharding where the group structure divides cleanly is safe. For
+        # now, replicate sub-byte weights (they are 4-8x smaller already) —
+        # a Pallas-layout-aware TP shard lands with the kernel work.
+        return qw
+    return qw
+
+
+def shard_model(model, mesh: Mesh, rules: Iterable[ShardingRule] = LLAMA_TP_RULES) -> None:
+    """Apply TP sharding rules in place to every parameter of an NNX model.
+
+    Parameters not matched by any rule are replicated across the mesh (so
+    every array gets a committed placement and jit never guesses).
+    """
+    from ..nn.qmodule import QModuleMixin
+
+    qmodule_paths = set()
+    for path, node in nnx.iter_graph(model):
+        if isinstance(node, QModuleMixin):
+            qmodule_paths.add(path)
+    for path, node in nnx.iter_graph(model):
+        if not isinstance(node, nnx.Variable):
+            continue
+        name = ".".join(str(p) for p in path)
+        value = node.get_value()
+        if value is None:
+            continue
+        spec = _match_spec(name, rules)
+        attr = path[-1]
+        in_qmodule = path[:-1] in qmodule_paths
+        if spec is None:
+            # Replicate anything without a rule (norms, scalar scales, ...).
+            node.set_value(
+                jax.tree_util.tree_map(
+                    lambda a: _put(a, mesh, P()),
+                    value,
+                    is_leaf=lambda x: isinstance(x, jnp.ndarray),
+                )
+            )
+            continue
+        if isinstance(value, QArray):
+            node.set_value(_shard_qweight(value, mesh, spec))
+        elif attr == "weight" and in_qmodule:
+            # Unfrozen float weight in torch convention [out, in].
+            node.set_value(_put(value, mesh, spec))
+        elif attr == "kernel":
+            # flax convention [in, out]: transpose the spec.
+            kspec = P(*reversed(tuple(spec))) if len(spec) == 2 else spec
+            node.set_value(_put(value, mesh, kspec))
+        elif attr == "embedding":
+            node.set_value(_put(value, mesh, spec))
+        elif attr == "bias":
+            node.set_value(_put(value, mesh, _bias_spec(spec)))
+        else:
+            node.set_value(_put(value, mesh, P()))
+
+
+def shard_kv_cache(cache, mesh: Mesh, batch_axis: str = "dp", head_axis: str = "tp"):
+    """Shard a KV cache pytree [B, S, H, D] as (dp, None, tp, None)."""
+    spec = P(batch_axis, None, head_axis, None)
+    return jax.tree_util.tree_map(lambda a: _put(a, mesh, spec), cache)

@@ -1,0 +1,137 @@
+"""Tensor-parallel sharding tests on the virtual 8-device CPU mesh.
+
+The torch reference has no distributed capability at all (SURVEY.md §2.10);
+these tests validate the new TPU-native sharding layer: quantized weights and
+their scales shard congruently, the jitted forward runs under a Mesh, and the
+result matches the unsharded computation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import quanto_tpu as qt
+from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
+from quanto_tpu.models.llama import init_kv_cache
+from quanto_tpu.parallel import LLAMA_TP_RULES, make_mesh, shard_kv_cache, shard_model
+
+
+def _tiny_llama(dtype=jnp.float32):
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        dtype=dtype,
+    )
+    return LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+
+
+def test_mesh_creation():
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3, "tp": 4})
+
+
+def test_tp_sharded_quantized_forward_matches_unsharded():
+    model = _tiny_llama()
+    ids = jnp.asarray(np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64))
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    ref, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+
+    # Scales must shard congruently with their payloads.
+    qw = model.model.layers[0].self_attn.q_proj.weight.get_value()
+    data_shard = qw._data.sharding
+    scale_shard = qw._scale.sharding
+    assert data_shard.spec == P("tp", None)
+    assert scale_shard.spec == P("tp", None)
+    down = model.model.layers[0].mlp.down_proj.weight.get_value()
+    assert down._data.sharding.spec == P(None, "tp")
+    assert down._scale.sharding.spec == P(None, None)
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        m = nnx.merge(graphdef, state)
+        return m(ids)[0]
+
+    with mesh:
+        out = fwd(state, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_tp_sharded_decode_with_cache():
+    model = _tiny_llama()
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    ids = jnp.asarray(np.array([[1, 5, 17, 99]] * 2, dtype=np.int64))
+    full, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    cache = init_kv_cache(model.config, 2, 8, jnp.float32)
+    cache = shard_kv_cache(cache, mesh)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def prefill(state, ids, cache):
+        m = nnx.merge(graphdef, state)
+        return m(ids, cache, 0)
+
+    @jax.jit
+    def step(state, tok, cache, pos):
+        m = nnx.merge(graphdef, state)
+        return m(tok, cache, pos)
+
+    with mesh:
+        logits, cache = prefill(state, ids[:, :3], cache)
+        step_logits, cache = step(state, ids[:, 3:4], cache, 3)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, :3]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(step_logits[:, 0]), np.asarray(full[:, 3]), rtol=1e-4, atol=1e-4)
+
+
+def test_qat_training_step_dp_tp():
+    """One QAT (fake-quant STE) training step over a dp x tp mesh."""
+    model = _tiny_llama()
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    for _name, m in qt.named_qmodules(model):
+        m.qat = True
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    graphdef, state = nnx.split(model)
+    params = state
+
+    ids = jnp.asarray(np.array([[1, 5, 17, 99, 3, 42, 7, 88]] * 4, dtype=np.int64))
+    ids = jax.device_put(ids, NamedSharding(mesh, P("dp", None)))
+
+    def loss_fn(state, ids):
+        m = nnx.merge(graphdef, state)
+        logits, _ = m(ids)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def train_step(state, ids):
+        loss, grads = jax.value_and_grad(loss_fn)(state, ids)
+        new_state = jax.tree_util.tree_map(lambda p, g: p - 1e-3 * g, state, grads)
+        return loss, new_state
+
+    with mesh:
+        loss0, params = train_step(params, ids)
+        loss1, params = train_step(params, ids)
+    assert np.isfinite(float(loss0))
+    assert float(loss1) < float(loss0)
