@@ -51,15 +51,21 @@ def qbytes_int_mm(
 def qbytes_mm(
     activations: jnp.ndarray, weights: jnp.ndarray, output_scales: jnp.ndarray
 ) -> jnp.ndarray:
-    """Generic mixed mm: dequantize weights with `output_scales`, then matmul.
+    """Generic mixed mm. When both operands are int8, routes to the native
+    MXU int path (reference `library/qbytes_mm.py:25-33` default impl).
 
-    Mirrors the default impl (reference `library/qbytes_mm.py:25-33`). When
-    both operands are int8, routes to the native MXU int path.
+    Weight-only path: `dot(x, w.T.astype(f)) * scale.T` — the per-out-channel
+    scale is applied to the OUTPUT. XLA fuses the int8/fp8 -> float convert
+    into the matmul's operand read, so the weight streams from HBM at its
+    quantized width (measured 661 GB/s on v5e vs 364 GB/s when materializing
+    `w * scale` first — that materialized copy is what the reference's CUDA
+    kernels avoid, and on TPU the fusion comes for free).
     """
     output_scales = jnp.asarray(output_scales)
     if activations.dtype == jnp.int8 and weights.dtype == jnp.int8:
         return qbytes_int_mm(activations, weights, output_scales)
     out_dtype = output_scales.dtype
     activations = activations.astype(out_dtype)
-    weights = (output_scales.astype(jnp.float32) * weights.astype(jnp.float32)).astype(out_dtype)
-    return _dot_last_dim(activations, weights.T, out_dtype)
+    out = _dot_last_dim(activations, weights.T.astype(out_dtype), jnp.float32)
+    scales = output_scales.T if output_scales.ndim == 2 else output_scales
+    return (out * scales.astype(jnp.float32)).astype(out_dtype)
