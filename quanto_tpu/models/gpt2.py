@@ -78,11 +78,10 @@ class GPT2Attention(nnx.Module):
         v = v.reshape(B, T, self.num_heads, self.head_dim)
         new_cache = None
         if layer_cache is not None:
-            ck, cv = layer_cache
-            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-            new_cache = (ck, cv)
-            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+            from ..tensor.kv_cache import kv_read, kv_update
+
+            new_cache = kv_update(layer_cache, k, v, cache_pos)
+            k, v = kv_read(new_cache, q.dtype)
         scale = self.head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits * scale + mask
@@ -143,7 +142,9 @@ class GPT2LMHeadModel(nnx.Module):
         if cache is None:
             mask = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min)[None, None]
         else:
-            max_len = cache[0][0].shape[1]
+            from ..tensor.kv_cache import cache_max_len
+
+            max_len = cache_max_len(cache[0])
             q_pos = cache_pos + jnp.arange(T)[:, None]
             k_pos = jnp.arange(max_len)[None, :]
             mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]

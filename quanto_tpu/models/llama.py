@@ -115,7 +115,18 @@ def _apply_rope(x, cos, sin):
 KVCache = Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
 
 
-def init_kv_cache(config: LlamaConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+def init_kv_cache(config: LlamaConfig, batch: int, max_len: int, dtype=None, kv_quant=None) -> KVCache:
+    """Float KV cache, or quantized when `kv_quant` is a qtype/name
+    (int8/fp8 cache — halves decode HBM traffic at long context)."""
+    if kv_quant is not None:
+        from ..tensor.kv_cache import init_quantized_kv_cache
+        from ..tensor.qtype import qtypes
+
+        qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+        return init_quantized_kv_cache(
+            config.num_hidden_layers, batch, max_len,
+            config.num_key_value_heads, config.head_dim, qt,
+        )
     dtype = dtype or config.dtype
     shape = (batch, max_len, config.num_key_value_heads, config.head_dim)
     return tuple(
@@ -151,11 +162,10 @@ class LlamaAttention(nnx.Module):
 
         new_cache = None
         if layer_cache is not None:
-            ck, cv = layer_cache
-            ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-            cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
-            new_cache = (ck, cv)
-            k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+            from ..tensor.kv_cache import kv_read, kv_update
+
+            new_cache = kv_update(layer_cache, k, v, cache_pos)
+            k, v = kv_read(new_cache, q.dtype)
 
         # Grouped-query attention: repeat kv heads up to q heads.
         groups = self.num_heads // self.num_kv_heads
@@ -258,7 +268,9 @@ class LlamaForCausalLM(nnx.Module):
                 jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min
             )[None, None, :, :]
         else:
-            max_len = cache[0][0].shape[1]
+            from ..tensor.kv_cache import cache_max_len
+
+            max_len = cache_max_len(cache[0])
             # Query i (global pos cache_pos+i) attends to cache slots <= its pos.
             q_pos = cache_pos + jnp.arange(T)[:, None]
             k_pos = jnp.arange(max_len)[None, :]

@@ -194,11 +194,18 @@ class QModuleMixin:
         )
 
     def freeze(self) -> None:
-        """Replace the float weight with its quantized form
-        (reference `nn/qmodule.py:304-308`)."""
+        """Replace the float weight with its quantized form, repacked into an
+        optimized kernel layout when available (reference `nn/qmodule.py:304-308`
+        plus the `create()` kernel selection, `weights/qbits.py:94-138`)."""
         if self.weight_qtype is None or self.frozen:
             return
-        self.weight.set_value(self.qweight)
+        qw = self.qweight
+        if hasattr(qw, "optimize"):
+            from ..ops import config as ops_config
+
+            if ops_config.use_pallas_qbits():
+                qw = qw.optimize()
+        self.weight.set_value(qw)
 
     # --- activation quantization ---------------------------------------------
 

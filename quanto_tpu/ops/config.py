@@ -46,3 +46,8 @@ def use_pallas_qbytes() -> bool:
     if _STATE["pallas_qbytes"] is not None:
         return _STATE["pallas_qbytes"]
     return _on_tpu()
+
+
+def pallas_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (CPU tests)."""
+    return not _on_tpu()

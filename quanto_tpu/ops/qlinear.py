@@ -30,9 +30,9 @@ from . import config
 def _tensor_types():
     # Imported lazily: the tensor package itself imports quanto_tpu.ops.
     from ..tensor.activations import ActivationQBytesArray
-    from ..tensor.weights import WeightQBitsArray, WeightQBytesArray
+    from ..tensor.weights import WeightQBitsArray, WeightQBitsTpuArray, WeightQBytesArray
 
-    return ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray
+    return ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray, WeightQBitsTpuArray
 
 
 __all__ = ["qlinear"]
@@ -40,10 +40,20 @@ __all__ = ["qlinear"]
 
 def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
     """Sub-byte weight matmul: x[..., in] @ dequant(w)[out, in].T."""
-    if config.use_pallas_qbits():
-        from .pallas import qbits_matmul
+    from ..tensor.weights import WeightQBitsTpuArray
 
-        out = qbits_matmul(x, w)
+    if isinstance(w, WeightQBitsTpuArray) and config.use_pallas_qbits():
+        from .pallas.qbits_mm import qbits_matmul_kernel_call
+
+        out = qbits_matmul_kernel_call(
+            x,
+            w._packed,
+            w._scale_t,
+            w._shift_t,
+            w.qtype.bits,
+            w.group_size,
+            interpret=config.pallas_interpret(),
+        )
         if out is not None:
             return out
     wdq = w.dequantize().astype(x.dtype)
@@ -56,7 +66,9 @@ def qlinear(
     bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """y = x @ w.T + bias with quantized operands."""
-    ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray = _tensor_types()
+    ActivationQBytesArray, WeightQBytesArray, WeightQBitsArray, WeightQBitsTpuArray = (
+        _tensor_types()
+    )
     if isinstance(w, WeightQBytesArray):
         if isinstance(x, ActivationQBytesArray):
             # Combined scale: per-tensor activation scale times per-axis
@@ -64,7 +76,7 @@ def qlinear(
             output = qbytes_mm(x.data, w.data, x.scale * w.scale)
         else:
             output = qbytes_mm(x, w.data, w.scale)
-    elif isinstance(w, WeightQBitsArray):
+    elif isinstance(w, (WeightQBitsArray, WeightQBitsTpuArray)):
         if isinstance(x, ActivationQBytesArray):
             # No int-mm path for sub-byte weights: dequantize the activations
             # (the reference behaves identically through qfallback).

@@ -1,0 +1,131 @@
+"""Ops on quantized activations that preserve quantization where safe.
+
+Functional analogue of the reference's ATen dispatch table
+(`optimum/quanto/tensor/activations/qbytes_ops.py:31-284`): in torch, tensor
+subclasses intercept ops; in JAX, model code calls these functions explicitly
+on `ActivationQBytesArray` values. Each op either:
+- stays in the quantized domain when numerically safe (same rules as the
+  reference: shape ops reindex `_data`; scalar `mul` folds into the scale;
+  `cat` requires identical scales; `relu` is int-only; `softmax` requantizes
+  with the known output range scale 1/qmax), or
+- falls back to dequantize-and-compute (`qfallback`).
+
+Plain jnp arrays pass through unchanged, so model code can be
+quantization-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..tensor.activations import ActivationQBytesArray, quantize_activation
+from ..tensor.qarray import QArray, qfallback
+from ..tensor.qtype import qtype, qint8
+
+
+__all__ = [
+    "qtranspose",
+    "qreshape",
+    "qcat",
+    "qmul_scalar",
+    "qrelu",
+    "qsoftmax",
+    "qmatmul",
+    "dequantize",
+]
+
+
+def _rewrap(x: ActivationQBytesArray, data: jnp.ndarray) -> ActivationQBytesArray:
+    return ActivationQBytesArray(
+        _data=data, _scale=x._scale, qtype=x.qtype, float_dtype=x.float_dtype
+    )
+
+
+def dequantize(x):
+    return x.dequantize() if isinstance(x, QArray) else x
+
+
+def qtranspose(x, axes=None):
+    """Shape ops reindex the payload (reference `qbytes_ops.py` transpose/t)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return jnp.transpose(x, axes)
+    return _rewrap(x, jnp.transpose(x._data, axes))
+
+
+def qreshape(x, shape):
+    if not isinstance(x, ActivationQBytesArray):
+        return jnp.reshape(x, shape)
+    return _rewrap(x, jnp.reshape(x._data, shape))
+
+
+def qcat(xs: Sequence, axis: int = 0):
+    """Concatenate; stays quantized only when all inputs share scale & qtype
+    (reference `qbytes_ops.py:93-104`)."""
+    if all(isinstance(x, ActivationQBytesArray) for x in xs) and len(xs) > 0:
+        first = xs[0]
+        same = all(
+            x.qtype == first.qtype and x._scale.shape == first._scale.shape for x in xs[1:]
+        )
+        if same:
+            scales_equal = all(bool(jnp.all(x._scale == first._scale)) for x in xs[1:])
+            if scales_equal:
+                return _rewrap(first, jnp.concatenate([x._data for x in xs], axis=axis))
+    return jnp.concatenate([dequantize(x) for x in xs], axis=axis)
+
+
+def qmul_scalar(x, scalar):
+    """Multiply by a python/0-d scalar: folds into the scale
+    (reference `qbytes_ops.py:mul`)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return x * scalar
+    s = jnp.asarray(scalar)
+    if s.ndim != 0:
+        return qfallback(jnp.multiply, x, scalar)
+    return ActivationQBytesArray(
+        _data=x._data,
+        _scale=(x._scale.astype(jnp.float32) * s.astype(jnp.float32)).astype(x._scale.dtype),
+        qtype=x.qtype,
+        float_dtype=x.float_dtype,
+    )
+
+
+def qrelu(x):
+    """ReLU on integer payloads keeps codes (reference `qbytes_ops.py:relu`,
+    int-only — fp8 codes are not monotonic in the integer domain)."""
+    if not isinstance(x, ActivationQBytesArray) or x.qtype.is_floating_point:
+        return jax.nn.relu(dequantize(x))
+    return _rewrap(x, jnp.maximum(x._data, 0))
+
+
+def qsoftmax(x, axis: int = -1, qt: qtype = None):
+    """Softmax with requantization at the known output scale 1/qmax
+    (reference `qbytes_ops.py:_softmax`: output in [0, 1])."""
+    if not isinstance(x, ActivationQBytesArray):
+        return jax.nn.softmax(x, axis=axis)
+    qt = qt or x.qtype
+    out = jax.nn.softmax(x.dequantize(), axis=axis)
+    scale = jnp.float32(1.0 / qt.qmax)
+    return quantize_activation(out, qt, scale)
+
+
+def qmatmul(a, b):
+    """int8 x int8 matmul keeps int32->requantizable output
+    (reference bmm path, `qbytes_ops.py:76-90`: int8 via fp32 mm)."""
+    if (
+        isinstance(a, ActivationQBytesArray)
+        and isinstance(b, ActivationQBytesArray)
+        and not a.qtype.is_floating_point
+        and not b.qtype.is_floating_point
+    ):
+        prod = jax.lax.dot_general(
+            a._data,
+            b._data,
+            dimension_numbers=(((a._data.ndim - 1,), (b._data.ndim - 2,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scale = a._scale.astype(jnp.float32) * b._scale.astype(jnp.float32)
+        return (prod.astype(jnp.float32) * scale).astype(a.float_dtype)
+    return jnp.matmul(dequantize(a), dequantize(b))

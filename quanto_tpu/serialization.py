@@ -32,7 +32,7 @@ from .tensor.grouped import grouped_shape
 from .tensor.packed import PackedArray
 from .tensor.qarray import QArray
 from .tensor.qtype import qtypes
-from .tensor.weights import WeightQBitsArray, WeightQBytesArray
+from .tensor.weights import WeightQBitsArray, WeightQBitsTpuArray, WeightQBytesArray
 
 
 __all__ = ["state_dict", "load_state_dict", "save_file", "load_file"]
@@ -43,6 +43,10 @@ def _path_name(path) -> str:
 
 
 def _flatten_weight(prefix: str, value, out: Dict[str, jnp.ndarray]) -> None:
+    if isinstance(value, WeightQBitsTpuArray):
+        # Optimized layouts always serialize in the kernel-agnostic form
+        # (reference `weights/qbytes.py:211-216`).
+        value = value.to_generic()
     if isinstance(value, WeightQBytesArray):
         out[f"{prefix}._data"] = value._data
         out[f"{prefix}._scale"] = value._scale
@@ -104,7 +108,7 @@ def _rebuild_qweight(module: QModuleMixin, prefix: str, sd, float_dtype) -> Opti
         else wshape
     )
     packed_arr = PackedArray(_data=packed, bits=qt.bits, orig_shape=tuple(gshape))
-    return WeightQBitsArray(
+    qw = WeightQBitsArray(
         _data=packed_arr,
         _scale=scale,
         _shift=shift,
@@ -114,6 +118,13 @@ def _rebuild_qweight(module: QModuleMixin, prefix: str, sd, float_dtype) -> Opti
         orig_shape=wshape,
         float_dtype=jnp.dtype(scale.dtype),
     )
+    from .ops import config as ops_config
+
+    if ops_config.use_pallas_qbits():
+        # Repack into the kernel layout (reference `optimize()` after
+        # deserialization, `weights/qbits.py:201-221`).
+        qw = qw.optimize()
+    return qw
 
 
 def load_state_dict(model, sd, strict: bool = True) -> Dict[str, list]:

@@ -14,6 +14,7 @@ from .qtype import *  # noqa: F401,F403
 from .qtype import qtype, qtypes
 from .weights import (
     WeightQBitsArray,
+    WeightQBitsTpuArray,
     WeightQBytesArray,
     fake_quantize_weight,
     quantize_weight,

@@ -1,0 +1,118 @@
+"""Quantized KV cache.
+
+Not present in the torch reference (it never manages attention or caches —
+SURVEY.md §5.7); required by the TPU build's serving story: the KV cache is
+the dominant HBM traffic at long context, so storing it int8/fp8 halves (or
+quarters, vs f32) both footprint and decode bandwidth.
+
+Scheme: per-slot, per-head symmetric scales — `data[B, S, H, D]` in the
+storage dtype with `scale[B, S, H, 1]` float32, quantized at write time from
+the absmax over the head dim. Dequantization happens in-register inside the
+attention einsum's operand read (XLA fuses the convert+mul).
+
+The cache is a plain pytree (`QKVCacheLayer`) so it flows through jit,
+lax.scan carries, and `NamedSharding` like the float cache.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .qarray import register_qarray
+from .qtype import qtype, qint8
+
+
+__all__ = [
+    "QKVCacheLayer",
+    "init_quantized_kv_cache",
+    "kv_update",
+    "kv_read",
+    "cache_max_len",
+]
+
+
+def cache_max_len(layer_cache) -> int:
+    """Sequence capacity of a layer cache (float tuple or quantized)."""
+    if isinstance(layer_cache, tuple):
+        return layer_cache[0].shape[1]
+    return layer_cache._k_data.shape[1]
+
+
+@register_qarray
+class QKVCacheLayer:
+    """One layer's quantized KV cache: int8/fp8 payloads + per-slot scales."""
+
+    _k_data: jnp.ndarray  # [B, S, H, D] storage dtype
+    _k_scale: jnp.ndarray  # [B, S, H, 1] float32
+    _v_data: jnp.ndarray
+    _v_scale: jnp.ndarray
+    qtype_name: str  # static: qtype name (hashable aux data)
+
+
+def init_quantized_kv_cache(
+    n_layers: int,
+    batch: int,
+    max_len: int,
+    n_kv_heads: int,
+    head_dim: int,
+    qt: qtype = qint8,
+) -> Tuple[QKVCacheLayer, ...]:
+    shape = (batch, max_len, n_kv_heads, head_dim)
+    sshape = (batch, max_len, n_kv_heads, 1)
+    return tuple(
+        QKVCacheLayer(
+            _k_data=jnp.zeros(shape, qt.dtype),
+            _k_scale=jnp.ones(sshape, jnp.float32),
+            _v_data=jnp.zeros(shape, qt.dtype),
+            _v_scale=jnp.ones(sshape, jnp.float32),
+            qtype_name=qt.name,
+        )
+        for _ in range(n_layers)
+    )
+
+
+def _quantize_slot(t: jnp.ndarray, qt: qtype):
+    """Per-(batch, pos, head) symmetric quantization over the head dim."""
+    tf = t.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / qt.qmax, 1e-8)
+    data = tf / scale
+    if not qt.is_floating_point:
+        data = jnp.round(data)
+    data = jnp.clip(data, qt.qmin, qt.qmax).astype(qt.dtype)
+    return data, scale
+
+
+def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
+    """Write new K/V ([B, T, H, D]) at `pos`; works for float tuple caches and
+    quantized QKVCacheLayer caches."""
+    if isinstance(layer_cache, QKVCacheLayer):
+        from .qtype import qtypes
+
+        qt = qtypes[layer_cache.qtype_name]
+        kd, ks = _quantize_slot(k, qt)
+        vd, vs = _quantize_slot(v, qt)
+        return QKVCacheLayer(
+            _k_data=lax.dynamic_update_slice(layer_cache._k_data, kd, (0, pos, 0, 0)),
+            _k_scale=lax.dynamic_update_slice(layer_cache._k_scale, ks, (0, pos, 0, 0)),
+            _v_data=lax.dynamic_update_slice(layer_cache._v_data, vd, (0, pos, 0, 0)),
+            _v_scale=lax.dynamic_update_slice(layer_cache._v_scale, vs, (0, pos, 0, 0)),
+            qtype_name=layer_cache.qtype_name,
+        )
+    ck, cv = layer_cache
+    ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
+    cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
+    return (ck, cv)
+
+
+def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-cache K/V in the compute dtype."""
+    if isinstance(layer_cache, QKVCacheLayer):
+        k = (layer_cache._k_data.astype(jnp.float32) * layer_cache._k_scale).astype(dtype)
+        v = (layer_cache._v_data.astype(jnp.float32) * layer_cache._v_scale).astype(dtype)
+        return k, v
+    ck, cv = layer_cache
+    return ck.astype(dtype), cv.astype(dtype)

@@ -33,7 +33,13 @@ from .qarray import QArray, register_qarray
 from .qtype import qtype
 
 
-__all__ = ["WeightQBytesArray", "WeightQBitsArray", "quantize_weight", "fake_quantize_weight"]
+__all__ = [
+    "WeightQBytesArray",
+    "WeightQBitsArray",
+    "WeightQBitsTpuArray",
+    "quantize_weight",
+    "fake_quantize_weight",
+]
 
 
 @register_qarray
@@ -169,6 +175,116 @@ class WeightQBitsArray(QArray):
         codes = self._data.unpack()
         grouped = dequantize_affine(codes, self._scale, self._shift, jnp.float32)
         return ungroup(grouped, self.axis, self.orig_shape).astype(self.float_dtype)
+
+    def optimize(self) -> "QArray":
+        """Repack into the TPU kernel layout when eligible.
+
+        The analogue of the reference's kernel-specific subclass selection
+        (`tensor/weights/qbits.py:94-138` create()) and post-deserialization
+        `optimize()` (`weights/qbits.py:201-221`): the optimized layout lives
+        only in device memory; serialization converts back to this generic
+        grouped layout.
+        """
+        converted = WeightQBitsTpuArray.from_generic(self)
+        return converted if converted is not None else self
+
+
+@register_qarray
+class WeightQBitsTpuArray(QArray):
+    """Sub-byte weights in the TPU fused-kernel layout.
+
+    `_packed` is split-half nibble-packed along K ([out, in*bits/8] uint8, see
+    `ops/pallas/qbits_mm.py`), `_scale_t`/`_shift_t` are TRANSPOSED
+    [groups, out] float32 with float-shift semantics
+    (`deq = scale * code - shift`) — transposed so the kernel slices
+    per-group [1, out] rows that broadcast over its output tile directly.
+    """
+
+    _packed: jnp.ndarray
+    _scale_t: jnp.ndarray
+    _shift_t: jnp.ndarray
+    qtype: qtype
+    group_size: Optional[int]
+    orig_shape: Tuple[int, ...]
+    float_dtype: jnp.dtype
+
+    @classmethod
+    def from_generic(cls, w: "WeightQBitsArray") -> Optional["WeightQBitsTpuArray"]:
+        from ..ops.pallas.qbits_mm import pack_split_half
+
+        if w.axis != 0 or len(w.orig_shape) != 2:
+            return None
+        N, K = w.orig_shape
+        vals = 8 // w.qtype.bits
+        gs = w.group_size if w.group_size is not None else K
+        if N % 128 != 0 or (K // vals) % 128 != 0:
+            return None
+        if gs != K and (gs % 128 != 0 or (K // vals) % gs != 0):
+            return None
+        codes = ungroup(w._data.unpack(), w.axis, w.orig_shape)
+        G = K // gs
+        scale = jnp.asarray(w._scale, jnp.float32).reshape(N, G)
+        shift = jnp.asarray(w._shift)
+        if jnp.issubdtype(shift.dtype, jnp.floating):
+            shift = shift.astype(jnp.float32).reshape(N, G)
+        else:
+            # Integer zero-point: deq = scale*(code - zp) = scale*code - scale*zp.
+            shift = scale * shift.astype(jnp.float32).reshape(N, G)
+        return cls(
+            _packed=pack_split_half(codes, w.qtype.bits),
+            _scale_t=scale.T,
+            _shift_t=shift.T,
+            qtype=w.qtype,
+            group_size=w.group_size,
+            orig_shape=tuple(w.orig_shape),
+            float_dtype=w.float_dtype,
+        )
+
+    def to_generic(self) -> "WeightQBitsArray":
+        """Back to the kernel-agnostic serialized layout
+        (rule from reference `weights/qbits.py:223-235`)."""
+        from ..ops.pallas.qbits_mm import unpack_split_half
+        from .grouped import group
+
+        N, K = self.orig_shape
+        gs = self.group_size
+        codes = unpack_split_half(self._packed, self.qtype.bits, K)
+        if gs is not None:
+            codes = group(codes, 0, gs)
+            scale = self._scale_t.T.reshape(-1, 1).astype(self.float_dtype)
+            shift = self._shift_t.T.reshape(-1, 1).astype(self.float_dtype)
+        else:
+            scale = self._scale_t.T.astype(self.float_dtype)
+            shift = self._shift_t.T.astype(self.float_dtype)
+        packed = PackedArray.pack(codes, self.qtype.bits)
+        return WeightQBitsArray(
+            _data=packed,
+            _scale=scale,
+            _shift=shift,
+            qtype=self.qtype,
+            axis=0,
+            group_size=gs,
+            orig_shape=self.orig_shape,
+            float_dtype=self.float_dtype,
+        )
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.orig_shape
+
+    @property
+    def dtype(self):
+        return self.float_dtype
+
+    def dequantize(self) -> jnp.ndarray:
+        from ..ops.pallas.qbits_mm import unpack_split_half
+
+        N, K = self.orig_shape
+        gs = self.group_size if self.group_size is not None else K
+        codes = unpack_split_half(self._packed, self.qtype.bits, K).astype(jnp.float32)
+        scale = jnp.repeat(self._scale_t.T, gs, axis=1)
+        shift = jnp.repeat(self._shift_t.T, gs, axis=1)
+        return (codes * scale - shift).astype(self.float_dtype)
 
 
 def quantize_weight(

@@ -1,0 +1,61 @@
+"""CLI tests (reference `tests/cli/test_quantize_cli.py:26-50`): quantize a
+tiny local checkpoint via the CLI entry point, reload, verify the qmap."""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quanto_tpu.cli import main as cli_main
+from quanto_tpu.models import (
+    LlamaConfig,
+    LlamaForCausalLM,
+    QuantizedModelForCausalLM,
+)
+from quanto_tpu.models.loading import hf_state_dict
+from quanto_tpu.utils.safetensors_io import save_file
+
+
+def _write_float_checkpoint(directory):
+    from transformers import LlamaConfig as HFLlamaConfig
+
+    hf_config = HFLlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    model = LlamaForCausalLM(LlamaConfig.from_hf(hf_config, dtype=jnp.float32))
+    hf_config.save_pretrained(directory)
+    save_file(hf_state_dict(model), os.path.join(directory, "model.safetensors"))
+    return model
+
+
+def test_cli_quantize_and_reload(capsys):
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as dst:
+        model = _write_float_checkpoint(src)
+        rc = cli_main([
+            "quantize", dst, "-m", src, "--weights", "int8",
+            "--dtype", "fp32", "--exclude", "lm_head",
+        ])
+        assert rc == 0
+        with open(os.path.join(dst, "quanto_qmap.json")) as f:
+            qmap = json.load(f)
+        assert qmap["model.layers.0.self_attn.q_proj"]["weights"] == "qint8"
+        assert "lm_head" not in qmap
+        reloaded = QuantizedModelForCausalLM.from_pretrained(dst, dtype=jnp.float32)
+        ids = jnp.asarray(np.array([[1, 5, 17]], dtype=np.int64))
+        ref, _ = model(ids)
+        out, _ = reloaded(ids)
+        # int8-weight logits stay close to the float model.
+        a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99
+
+        rc = cli_main(["inspect", dst])
+        assert rc == 0
+        captured = capsys.readouterr().out
+        assert "quantized modules:" in captured
+        assert "I8" in captured

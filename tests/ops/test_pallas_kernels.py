@@ -1,0 +1,105 @@
+"""Pallas kernel tests (interpret mode on the CPU backend).
+
+Mirrors the reference optimized-tensor tests
+(`tests/tensor/weights/optimized/`): the kernel-layout weight equals the
+generic tensor numerically, survives the round trip back to the generic
+serialized layout, and the fused matmul matches the dequant oracle.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import quanto_tpu as qt
+from quanto_tpu.ops import config as ops_config
+from quanto_tpu.ops.pallas import (
+    pack_split_half,
+    qbits_matmul_kernel_call,
+    qbytes_matmul_kernel_call,
+    unpack_split_half,
+)
+from quanto_tpu.tensor.weights import WeightQBitsTpuArray
+
+from ..helpers import assert_similar, random_qweight, random_tensor
+
+
+@pytest.fixture(autouse=True)
+def force_pallas():
+    ops_config.set_backend(pallas_qbits=True, pallas_qbytes=True)
+    yield
+    ops_config.set_backend(None, None)
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_split_half_pack_roundtrip(bits):
+    k = jax.random.PRNGKey(0)
+    codes = jax.random.randint(k, (128, 256), 0, 2**bits, jnp.uint8)
+    packed = pack_split_half(codes, bits)
+    assert packed.shape == (128, 256 * bits // 8)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_split_half(packed, bits, 256)), np.asarray(codes)
+    )
+
+
+@pytest.mark.parametrize("group_size", [128, None])
+@pytest.mark.parametrize("qtype_name", ["qint4", "qint2"])
+def test_tpu_layout_equals_generic(qtype_name, group_size):
+    qw = random_qweight((256, 512), qt.qtypes[qtype_name], group_size=group_size)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
+    assert tpu is not None
+    np.testing.assert_allclose(
+        np.asarray(tpu.dequantize()), np.asarray(qw.dequantize()), rtol=1e-5, atol=1e-6
+    )
+    # Round trip back to the serialized layout is bit-exact on the codes.
+    back = tpu.to_generic()
+    np.testing.assert_array_equal(
+        np.asarray(back._data.packed_data), np.asarray(qw._data.packed_data)
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.dequantize()), np.asarray(qw.dequantize()), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_qbits_kernel_matmul_matches_oracle():
+    qw = random_qweight((256, 512), qt.qint4, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
+    x = random_tensor((4, 512), key=jax.random.PRNGKey(2))
+    out = qbits_matmul_kernel_call(
+        x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128, interpret=True
+    )
+    ref = x @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_qbytes_kernel_matmul_matches_oracle():
+    qw = random_qweight((256, 512), qt.qint8)
+    x = random_tensor((4, 512), key=jax.random.PRNGKey(2))
+    out = qbytes_matmul_kernel_call(x, qw._data, qw._scale, interpret=True)
+    ref = x @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_qlinear_module_uses_tpu_layout_after_freeze():
+    from flax import nnx
+    from quanto_tpu.nn import QLinear
+
+    linear = nnx.Linear(512, 256, rngs=nnx.Rngs(0))
+    qlin = QLinear.from_module(linear, weights=qt.qint4)
+    x = random_tensor((4, 512), key=jax.random.PRNGKey(3))
+    dyn = qlin(x)
+    qlin.freeze()
+    assert isinstance(qlin.weight.get_value(), WeightQBitsTpuArray)
+    frozen = qlin(x)
+    assert_similar(frozen, dyn, rtol=1e-4)
+    # Serialization converts back to the generic layout.
+    sd = qt.state_dict(qlin)
+    assert "weight._data._data" in sd
+
+    # And reload (on a pallas-enabled backend) re-optimizes into the layout.
+    linear2 = nnx.Linear(512, 256, rngs=nnx.Rngs(1))
+    qlin2 = QLinear.from_module(linear2, weights=qt.qint4)
+    qt.load_state_dict(qlin2, sd)
+    assert isinstance(qlin2.weight.get_value(), WeightQBitsTpuArray)
+    reloaded = qlin2(x)
+    np.testing.assert_allclose(np.asarray(reloaded), np.asarray(frozen), rtol=1e-5, atol=1e-5)

@@ -1,0 +1,85 @@
+"""Quantized-activation op tests (reference
+`tests/tensor/activations/test_activations_dispatch.py` analogue)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import quanto_tpu as qt
+from quanto_tpu.ops import qops
+
+from ..helpers import assert_similar, random_qactivation, random_tensor
+
+
+def test_qtranspose_keeps_quantized():
+    qa = random_qactivation((8, 16), qt.qint8)
+    out = qops.qtranspose(qa)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(out.dequantize()), np.asarray(qa.dequantize()).T
+    )
+
+
+def test_qreshape_keeps_quantized():
+    qa = random_qactivation((8, 16), qt.qint8)
+    out = qops.qreshape(qa, (4, 32))
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(out.dequantize()), np.asarray(qa.dequantize()).reshape(4, 32)
+    )
+
+
+def test_qcat_same_scale_stays_quantized():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qcat([qa, qa], axis=0)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    assert out.shape == (8, 8)
+
+
+def test_qcat_different_scale_dequantizes():
+    qa = random_qactivation((4, 8), qt.qint8, key=jax.random.PRNGKey(0))
+    qb = random_qactivation((4, 8), qt.qint8, key=jax.random.PRNGKey(7))
+    out = qops.qcat([qa, qb], axis=0)
+    assert not isinstance(out, qt.ActivationQBytesArray)
+    assert out.shape == (8, 8)
+
+
+def test_qmul_scalar_folds_into_scale():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qmul_scalar(qa, 2.5)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_array_equal(np.asarray(out._data), np.asarray(qa._data))
+    assert_similar(out.dequantize(), qa.dequantize() * 2.5)
+
+
+def test_qrelu_int_keeps_codes():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qrelu(qa)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(out.dequantize()), np.maximum(np.asarray(qa.dequantize()), 0)
+    )
+
+
+def test_qrelu_fp8_falls_back():
+    qa = random_qactivation((4, 8), qt.qfloat8_e4m3fn)
+    out = qops.qrelu(qa)
+    assert not isinstance(out, qt.ActivationQBytesArray)
+
+
+def test_qsoftmax_requantizes_known_scale():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qsoftmax(qa, axis=-1)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    assert float(out.scale) == pytest.approx(1 / 127, rel=1e-6)
+    ref = jax.nn.softmax(qa.dequantize(), axis=-1)
+    assert_similar(out.dequantize(), ref, rtol=1e-2)
+
+
+def test_qmatmul_int8():
+    qa = random_qactivation((4, 16), qt.qint8, key=jax.random.PRNGKey(1))
+    qb = random_qactivation((16, 8), qt.qint8, key=jax.random.PRNGKey(2))
+    out = qops.qmatmul(qa, qb)
+    ref = qa.dequantize() @ qb.dequantize()
+    assert_similar(out, ref, rtol=1e-3)
