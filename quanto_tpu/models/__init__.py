@@ -1,5 +1,10 @@
 from .llama import KVCache, LlamaConfig, LlamaForCausalLM, init_kv_cache
 from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .pixart import PixArtConfig, PixArtTransformer2DModel
+from .diffusers_models import (
+    QuantizedDiffusersModel,
+    QuantizedPixArtTransformer2DModel,
+)
 from .loading import hf_state_dict, load_hf_state_dict
 from .transformers_models import (
     QuantizedModelForCausalLM,

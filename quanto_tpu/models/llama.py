@@ -47,6 +47,11 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False
+    hidden_act: str = "silu"
+    # Gemma variants: RMSNorm computes x * (1 + w) and embeddings are scaled
+    # by sqrt(hidden_size).
+    rms_norm_unit_offset: bool = False
+    scale_embeddings: bool = False
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -57,9 +62,14 @@ class LlamaConfig:
 
     @classmethod
     def from_hf(cls, config, dtype=jnp.bfloat16) -> "LlamaConfig":
-        """Build from a transformers PretrainedConfig (Llama/Mistral/Qwen2)."""
+        """Build from a transformers PretrainedConfig (Llama/Mistral/Qwen2/Gemma)."""
         get = lambda k, d=None: getattr(config, k, d)
+        is_gemma = get("model_type") in ("gemma", "gemma2")
+        act = get("hidden_activation") or get("hidden_act") or "silu"
         return cls(
+            hidden_act=act,
+            rms_norm_unit_offset=is_gemma,
+            scale_embeddings=is_gemma,
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,
             intermediate_size=config.intermediate_size,
@@ -78,15 +88,20 @@ class LlamaConfig:
 
 
 class RMSNorm(nnx.Module):
-    def __init__(self, dim: int, eps: float = 1e-6, dtype=jnp.float32):
-        self.weight = nnx.Param(jnp.ones((dim,), dtype))
+    def __init__(self, dim: int, eps: float = 1e-6, dtype=jnp.float32, unit_offset: bool = False):
+        # Gemma stores w with a unit offset: out = norm(x) * (1 + w), w init 0.
+        self.weight = nnx.Param(jnp.zeros((dim,), dtype) if unit_offset else jnp.ones((dim,), dtype))
         self.eps = eps
+        self.unit_offset = unit_offset
 
     def __call__(self, x):
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         out = xf * lax.rsqrt(var + self.eps)
-        return (out * self.weight.get_value().astype(jnp.float32)).astype(x.dtype)
+        w = self.weight.get_value().astype(jnp.float32)
+        if self.unit_offset:
+            w = 1.0 + w
+        return (out * w).astype(x.dtype)
 
 
 def _rope(positions: jnp.ndarray, head_dim: int, theta: float, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -192,6 +207,7 @@ class LlamaMLP(nnx.Module):
         self.gate_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
         self.up_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
         self.down_proj = nnx.Linear(c.intermediate_size, c.hidden_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        self.hidden_act = c.hidden_act
 
     def __call__(self, x):
         from ..tensor.qarray import QArray
@@ -199,7 +215,8 @@ class LlamaMLP(nnx.Module):
         g = self.gate_proj(x)
         u = self.up_proj(x)
         g, u = (a.dequantize() if isinstance(a, QArray) else a for a in (g, u))
-        out = self.down_proj(jax.nn.silu(g) * u)
+        act = jax.nn.silu(g) if self.hidden_act == "silu" else jax.nn.gelu(g, approximate=True)
+        out = self.down_proj(act * u)
         return out.dequantize() if isinstance(out, QArray) else out
 
 
@@ -207,8 +224,8 @@ class LlamaDecoderLayer(nnx.Module):
     def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
         self.self_attn = LlamaAttention(config, rngs)
         self.mlp = LlamaMLP(config, rngs)
-        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype)
-        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype)
+        self.input_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype, config.rms_norm_unit_offset)
+        self.post_attention_layernorm = RMSNorm(config.hidden_size, config.rms_norm_eps, config.dtype, config.rms_norm_unit_offset)
 
     def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
         h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
@@ -222,7 +239,7 @@ class LlamaModel(nnx.Module):
         c = config
         self.embed_tokens = nnx.Embed(c.vocab_size, c.hidden_size, param_dtype=c.dtype, rngs=rngs)
         self.layers = nnx.List([LlamaDecoderLayer(c, rngs) for _ in range(c.num_hidden_layers)])
-        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
+        self.norm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype, c.rms_norm_unit_offset)
 
 
 class LlamaForCausalLM(nnx.Module):
@@ -258,6 +275,8 @@ class LlamaForCausalLM(nnx.Module):
         c = self.config
         B, T = input_ids.shape
         x = self.model.embed_tokens(input_ids)
+        if c.scale_embeddings:
+            x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
         positions = cache_pos + jnp.arange(T)[None, :]  # [1, T] broadcasting over B
         positions = jnp.broadcast_to(positions, (B, T))
         cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)

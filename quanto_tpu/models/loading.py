@@ -122,6 +122,23 @@ def load_hf_state_dict(model, tensors: Mapping[str, jnp.ndarray], dtype=None) ->
             b = get(f"{prefix}bias")
             if b is not None and node.use_bias:
                 node.bias.set_value(cast(b, node.bias))
+        elif isinstance(node, nnx.Conv):
+            w = get(f"{prefix}weight")
+            if w is not None:
+                # torch conv OIHW -> flax HWIO.
+                node.kernel.set_value(cast(jnp.transpose(w, (2, 3, 1, 0)), node.kernel))
+            if node.use_bias:
+                b = get(f"{prefix}bias")
+                if b is not None:
+                    node.bias.set_value(cast(b, node.bias))
+    # Bare parameters not owned by a recognized module class (e.g. PixArt
+    # scale_shift_table): match by exact dotted path.
+    for path, node in nnx.iter_graph(model):
+        if isinstance(node, nnx.Param):
+            name = _path_name(path)
+            if name not in loaded and name in tensors:
+                node.set_value(cast(jnp.asarray(tensors[name]), node))
+                loaded.add(name)
     unexpected = [k for k in tensors.keys() if k not in loaded]
     return {"missing": missing, "unexpected": unexpected}
 
@@ -130,6 +147,7 @@ def hf_state_dict(model) -> Dict[str, jnp.ndarray]:
     """Flatten an NNX model into a torch-convention state dict (quanto keys
     for quantized weights, `weight`/`bias` names for float modules)."""
     out: Dict[str, jnp.ndarray] = {}
+    handled = set()
     for path, node in nnx.iter_graph(model):
         if not isinstance(node, nnx.Module):
             continue
@@ -161,4 +179,18 @@ def hf_state_dict(model) -> Dict[str, jnp.ndarray]:
                 out[f"{prefix}weight"] = node.scale.get_value()
             if node.use_bias:
                 out[f"{prefix}bias"] = node.bias.get_value()
+        elif isinstance(node, nnx.Conv):
+            out[f"{prefix}weight"] = jnp.transpose(node.kernel.get_value(), (3, 2, 0, 1))
+            if node.use_bias:
+                out[f"{prefix}bias"] = node.bias.get_value()
+        else:
+            continue
+        handled.add(path)
+    # Bare parameters owned by unhandled container modules (e.g. PixArt
+    # scale_shift_table).
+    for path, node in nnx.iter_graph(model):
+        if isinstance(node, nnx.Param) and path[:-1] not in handled:
+            name = _path_name(path)
+            if name not in out:
+                out[name] = node.get_value()
     return out

@@ -44,12 +44,12 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
     from .llama import LlamaConfig, LlamaForCausalLM
 
     model_type = getattr(hf_config, "model_type", None) or hf_config.get("model_type")
-    if model_type in ("llama", "mistral", "qwen2"):
+    if model_type in ("llama", "mistral", "qwen2", "gemma"):
         return LlamaForCausalLM(LlamaConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "gpt2":
         return GPT2LMHeadModel(GPT2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gpt2"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, gpt2"
     )
 
 

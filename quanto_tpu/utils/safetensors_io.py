@@ -90,13 +90,37 @@ def safe_open_header(path: str) -> Dict[str, dict]:
 
 
 def load_file(path: str, device=None) -> Dict[str, jnp.ndarray]:
-    """Load every tensor in a safetensors file as jnp arrays."""
+    """Load every tensor in a safetensors file as jnp arrays.
+
+    Uses the native mmap loader when available (zero-copy page-cache views,
+    `quanto_tpu/native/quanto_native.cpp` — the analogue of the reference's
+    Rust safetensors backend); falls back to a plain read.
+    """
+    mf = _try_mmap(path)
+    if mf is not None:
+        (header_len,) = struct.unpack("<Q", bytes(mf.view(0, 8)))
+        header = json.loads(bytes(mf.view(8, header_len)).decode("utf-8"))
+        base = 8 + header_len
+        out: Dict[str, jnp.ndarray] = {}
+        for name, info in header.items():
+            if name == "__metadata__":
+                continue
+            np_dtype = _ST_TO_NP[info["dtype"]]
+            start, end = info["data_offsets"]
+            a = mf.view(base + start, end - start, np_dtype).reshape(info["shape"])
+            # copy=True: jnp.asarray may zero-copy CPU buffers, which would
+            # dangle once the mapping is closed.
+            arr = jnp.array(a, copy=True)
+            if device is not None:
+                arr = jnp.device_put(arr, device)
+            out[name] = arr
+        mf.close()
+        return out
     with open(path, "rb") as f:
         (header_len,) = struct.unpack("<Q", f.read(8))
         header = json.loads(f.read(header_len).decode("utf-8"))
-        base = 8 + header_len
         data = f.read()
-    out: Dict[str, jnp.ndarray] = {}
+    out = {}
     for name, info in header.items():
         if name == "__metadata__":
             continue
@@ -108,6 +132,17 @@ def load_file(path: str, device=None) -> Dict[str, jnp.ndarray]:
             arr = jnp.device_put(arr, device)
         out[name] = arr
     return out
+
+
+def _try_mmap(path: str):
+    try:
+        from ..native import MappedFile, is_available
+
+        if is_available():
+            return MappedFile(path)
+    except Exception:
+        pass
+    return None
 
 
 class LazySafetensors:
@@ -123,6 +158,7 @@ class LazySafetensors:
         # paths: tensor name -> file path
         self._paths = paths
         self._headers: Dict[str, Dict[str, dict]] = {}
+        self._mmaps: Dict[str, object] = {}
 
     @classmethod
     def from_files(cls, files) -> "LazySafetensors":
@@ -147,11 +183,19 @@ class LazySafetensors:
         if fp not in self._headers:
             self._headers[fp] = safe_open_header(fp)
         info = self._headers[fp][name]
-        header_len = None
+        np_dtype = _ST_TO_NP[info["dtype"]]
+        start, end = info["data_offsets"]
+        mf = self._mmaps.get(fp)
+        if mf is None and fp not in self._mmaps:
+            mf = _try_mmap(fp)
+            self._mmaps[fp] = mf
+        if mf is not None:
+            with open(fp, "rb") as f:
+                (header_len,) = struct.unpack("<Q", f.read(8))
+            a = mf.view(8 + header_len + start, end - start, np_dtype)
+            return jnp.array(a.reshape(info["shape"]), copy=True)
         with open(fp, "rb") as f:
             (header_len,) = struct.unpack("<Q", f.read(8))
-            start, end = info["data_offsets"]
             f.seek(8 + header_len + start)
             raw = f.read(end - start)
-        np_dtype = _ST_TO_NP[info["dtype"]]
         return jnp.asarray(np.frombuffer(raw, dtype=np_dtype).reshape(info["shape"]))
