@@ -13,15 +13,16 @@ batches.
 
 Streamline: the reference tracks — via runtime interception — which module
 outputs are only ever consumed by quantization-incompatible functions, and
-disables output quantization for those (`calibrate.py:90-105,158-164`). In a
-functional graph we cannot observe consumers at runtime; instead, modules
-whose outputs were never consumed as quantized arrays during calibration are
-detected by our model implementations explicitly consuming `QArray` inputs
-(e.g. attention int8 bmm). With `streamline=True` (the default, like the
-reference) output quantization is disabled on exit for every module that was
-not marked as having a quantized consumer via `mark_quantized_consumer`.
-On transformer-style models this matches the reference's net effect, where
-nearly all linear outputs feed adds/norms and lose their quantization.
+disables output quantization for those (`calibrate.py:90-105,158-164`). The
+functional analogue here: during the (eager) calibration pass every module
+output IS quantized and tagged with a consumption cell
+(`tensor/activations.py:attach_consumption_cell`); quantization-aware
+consumers (qlinear int8 path, qops shape/matmul ops, quantized-input
+modules) mark `quantized_use`, while `.dequantize()` marks `dequantized`.
+On exit, output quantization stays enabled only for modules whose outputs
+saw at least one quantized use — the same net effect as the reference on
+transformer models (most linear outputs feed adds/norms and lose their
+output quantization).
 """
 
 from __future__ import annotations
@@ -80,6 +81,8 @@ class Calibration:
         self.debug = debug
         # name lookup for debug traces
         self._names = {}
+        # module id -> list of consumption cells of its tagged outputs
+        self._output_cells = {}
         # modules whose outputs ARE consumed quantized (streamline keeps them)
         self._quantized_consumers = set()
 
@@ -91,14 +94,13 @@ class Calibration:
         if module.activation_qtype is None:
             return
         if isinstance(x, QArray):
-            # Donwstream of a quantized producer: adopt the max of both scales
+            # Downstream of a quantized producer: adopt the max of both scales
             # (reference `calibrate.py:127-129`).
             new_scale = jnp.maximum(
                 jnp.asarray(module.input_scale.get_value(), jnp.float32),
                 jnp.asarray(x.scale, jnp.float32).reshape(()),
             )
             module.input_scale.set_value(new_scale)
-            self._quantized_consumers.add(id(module))
             return
         batch_scale = absmax_scale(x, module.activation_qtype)
         module.input_scale.set_value(
@@ -128,6 +130,15 @@ class Calibration:
         streamline keeps its output quantization enabled."""
         self._quantized_consumers.add(id(module))
 
+    def tag_output(self, module: QModuleMixin, qout) -> None:
+        """Attach a consumption cell to a module's quantized output
+        (reference `tag_outputs`, `calibrate.py:176-189`)."""
+        from .tensor.activations import attach_consumption_cell
+
+        cell = {"dequantized": False, "quantized_use": False}
+        attach_consumption_cell(qout, cell)
+        self._output_cells.setdefault(id(module), []).append(cell)
+
     # --- context manager ------------------------------------------------------
 
     def __enter__(self) -> "Calibration":
@@ -135,21 +146,21 @@ class Calibration:
             self._names[id(m)] = name
             m.calibrating = True
             m._calibration = self
-            # During calibration outputs stay unquantized so output scales see
-            # true ranges (the reference quantizes with the live scale; the
-            # EMA converges to the same values either way).
-            m._pre_calibration_quantize_outputs = m.quantize_outputs
-            m.quantize_outputs = False
         return self
 
     def __exit__(self, exc_type, exc_value, traceback) -> None:
-        for _name, m in named_qmodules(self.model):
+        for name, m in named_qmodules(self.model):
             m.calibrating = False
             m._calibration = None
-            restore = getattr(m, "_pre_calibration_quantize_outputs", m.quantize_outputs)
-            if self.streamline and id(m) not in self._quantized_consumers:
+            if not self.streamline or m.activation_qtype is None:
+                continue
+            cells = self._output_cells.get(id(m), [])
+            consumed_quantized = id(m) in self._quantized_consumers or any(
+                c["quantized_use"] for c in cells
+            )
+            if not consumed_quantized:
+                # Output only ever dequantized (or unused): drop output
+                # quantization (reference `calibrate.py:158-164`).
                 m.quantize_outputs = False
-            else:
-                m.quantize_outputs = restore
-            if hasattr(m, "_pre_calibration_quantize_outputs"):
-                del m._pre_calibration_quantize_outputs
+                if self.debug:
+                    print(f"[calibrate] streamline: disabled output quantization for {name}")

@@ -137,17 +137,18 @@ class GPT2LMHeadModel(nnx.Module):
     def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None, cache_pos=0):
         c = self.config
         B, T = input_ids.shape
-        positions = cache_pos + jnp.arange(T)[None, :]
-        x = self.transformer.wte(input_ids) + self.transformer.wpe(jnp.broadcast_to(positions, (B, T)))
+        pos0 = jnp.asarray(cache_pos).reshape(-1, 1)  # [1,1] or [B,1]
+        positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
+        x = self.transformer.wte(input_ids) + self.transformer.wpe(positions)
         if cache is None:
             mask = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min)[None, None]
         else:
             from ..tensor.kv_cache import cache_max_len
 
             max_len = cache_max_len(cache[0])
-            q_pos = cache_pos + jnp.arange(T)[:, None]
-            k_pos = jnp.arange(max_len)[None, :]
-            mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+            q_pos = positions[:, None, :, None]
+            k_pos = jnp.arange(max_len)[None, None, None, :]
+            mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)
         new_cache = [] if cache is not None else None
         for i, block in enumerate(self.transformer.h):
             layer_cache = cache[i] if cache is not None else None

@@ -268,7 +268,8 @@ class LlamaForCausalLM(nnx.Module):
         Without a cache: full causal self-attention over `input_ids` [B, T].
         With a cache: attends over `cache[:, :max_len]`; the current tokens
         are written at `cache_pos` (prefill with T>1 or decode with T=1).
-        Returns (logits [B, T, vocab], new_cache or None).
+        `cache_pos` may be a scalar (shared) or a [B] vector of per-slot
+        positions (continuous batching). Returns (logits, new_cache or None).
         """
         from ..tensor.qarray import QArray
 
@@ -277,7 +278,8 @@ class LlamaForCausalLM(nnx.Module):
         x = self.model.embed_tokens(input_ids)
         if c.scale_embeddings:
             x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
-        positions = cache_pos + jnp.arange(T)[None, :]  # [1, T] broadcasting over B
+        pos0 = jnp.asarray(cache_pos).reshape(-1, 1)  # [1,1] or [B,1]
+        positions = pos0 + jnp.arange(T)[None, :]
         positions = jnp.broadcast_to(positions, (B, T))
         cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
 
@@ -290,10 +292,11 @@ class LlamaForCausalLM(nnx.Module):
             from ..tensor.kv_cache import cache_max_len
 
             max_len = cache_max_len(cache[0])
-            # Query i (global pos cache_pos+i) attends to cache slots <= its pos.
-            q_pos = cache_pos + jnp.arange(T)[:, None]
-            k_pos = jnp.arange(max_len)[None, :]
-            mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)[None, None, :, :]
+            # Query i (global pos cache_pos+i) attends to cache slots <= its
+            # pos; [B, 1, T, S] when positions are per-slot.
+            q_pos = positions[:, None, :, None]  # [B,1,T,1]
+            k_pos = jnp.arange(max_len)[None, None, None, :]
+            mask = jnp.where(k_pos <= q_pos, 0.0, jnp.finfo(jnp.float32).min)
 
         new_cache = [] if cache is not None else None
         for i, layer in enumerate(self.model.layers):

@@ -1,0 +1,186 @@
+"""Continuous-batching serving engine.
+
+Not present in the torch reference (single-request, eager generation only) —
+part of the TPU build's production-serving story. Slot-based continuous
+batching with static shapes (jit-friendly):
+
+- a fixed pool of `max_batch` sequence slots sharing one KV cache
+  [max_batch, max_len, H, D] (float or int8/fp8-quantized);
+- prefill runs per request (batch-1 program) and its cache rows are
+  scattered into the pooled cache at the assigned slot;
+- decode steps ALL active slots in one batched program with per-slot
+  positions (`cache_pos` as a [B] vector — the attention mask handles the
+  ragged sequence lengths);
+- finished slots are released and immediately reusable, so throughput does
+  not stall on the longest sequence in a batch.
+
+Greedy sampling; plug a different `sample_fn` for temperature/top-k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+__all__ = ["BatchedEngine"]
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    slot: int
+    prompt_len: int
+    max_new_tokens: int
+    tokens: List[int]
+    done: bool = False
+
+
+class BatchedEngine:
+    def __init__(
+        self,
+        model,
+        max_batch: int = 8,
+        max_len: int = 512,
+        kv_quant=None,
+        eos_token_id: Optional[int] = None,
+        sample_fn: Optional[Callable] = None,
+    ):
+        from .llama import init_kv_cache
+
+        self.model = model
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.eos_token_id = eos_token_id
+        self._graphdef, self._state = nnx.split(model)
+        if hasattr(model, "init_kv_cache"):
+            self._cache = model.init_kv_cache(max_batch, max_len)
+        else:
+            self._cache = init_kv_cache(model.config, max_batch, max_len, kv_quant=kv_quant)
+        self._pos = np.zeros((max_batch,), np.int32)  # next write position per slot
+        self._last_tok = np.zeros((max_batch,), np.int32)
+        self._free = list(range(max_batch))
+        self._requests: Dict[int, _Request] = {}
+        self._by_slot: Dict[int, _Request] = {}
+        self._next_rid = 0
+        self._sample = sample_fn or (lambda logits: jnp.argmax(logits, axis=-1))
+
+        graphdef = self._graphdef
+
+        @jax.jit
+        def _prefill(state, ids, slot_cache):
+            m = nnx.merge(graphdef, state)
+            logits, slot_cache = m(ids, slot_cache, 0)
+            return logits[:, -1], slot_cache
+
+        @jax.jit
+        def _scatter_slot(cache, slot_cache, slot):
+            def put(big, small):
+                return jax.lax.dynamic_update_slice(
+                    big, small.astype(big.dtype), (slot,) + (0,) * (big.ndim - 1)
+                )
+
+            return jax.tree_util.tree_map(put, cache, slot_cache)
+
+        @jax.jit
+        def _step(state, toks, cache, pos):
+            m = nnx.merge(graphdef, state)
+            logits, cache = m(toks, cache, pos)
+            nxt = self._sample(logits[:, -1])
+            return nxt.astype(jnp.int32), cache
+
+        self._prefill_fn = _prefill
+        self._scatter_fn = _scatter_slot
+        self._step_fn = _step
+        self._slot_cache_template = None
+
+    # --- request lifecycle ----------------------------------------------------
+
+    def can_add(self) -> bool:
+        return len(self._free) > 0
+
+    def add(self, prompt_ids, max_new_tokens: int = 64) -> int:
+        """Prefill a prompt into a free slot; returns the request id."""
+        from .llama import init_kv_cache
+
+        if not self._free:
+            raise RuntimeError("no free slots (call step() until one finishes)")
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        slot = self._free.pop()
+        if hasattr(self.model, "init_kv_cache"):
+            slot_cache = self.model.init_kv_cache(1, self.max_len)
+        else:
+            kv_quant = None
+            from ..tensor.kv_cache import QKVCacheLayer
+
+            if isinstance(self._cache[0], QKVCacheLayer):
+                from ..tensor.qtype import qtypes
+
+                kv_quant = qtypes[self._cache[0].qtype_name]
+            slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
+        ids = jnp.asarray(prompt[None, :])
+        last_logits, slot_cache = self._prefill_fn(self._state, ids, slot_cache)
+        first_tok = int(jax.device_get(self._sample(last_logits)[0]))
+        self._cache = self._scatter_fn(self._cache, slot_cache, slot)
+        self._pos[slot] = len(prompt)
+        self._last_tok[slot] = first_tok
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, slot, len(prompt), max_new_tokens, [first_tok])
+        self._requests[rid] = req
+        self._by_slot[slot] = req
+        self._maybe_finish(req, first_tok)
+        return rid
+
+    def _maybe_finish(self, req: _Request, tok: int) -> None:
+        if req.done:
+            return
+        if len(req.tokens) >= req.max_new_tokens or (
+            self.eos_token_id is not None and tok == self.eos_token_id
+        ):
+            req.done = True
+            self._free.append(req.slot)
+            del self._by_slot[req.slot]
+
+    @property
+    def num_active(self) -> int:
+        return len(self._by_slot)
+
+    def step(self) -> Dict[int, int]:
+        """Decode ONE token for every active slot; returns {rid: token}."""
+        if not self._by_slot:
+            return {}
+        toks = jnp.asarray(self._last_tok[:, None])
+        pos = jnp.asarray(self._pos)
+        nxt, self._cache = self._step_fn(self._state, toks, self._cache, pos)
+        nxt = np.asarray(jax.device_get(nxt))
+        out: Dict[int, int] = {}
+        for slot, req in list(self._by_slot.items()):
+            tok = int(nxt[slot])
+            req.tokens.append(tok)
+            out[req.rid] = tok
+            self._pos[slot] += 1
+            self._last_tok[slot] = tok
+            self._maybe_finish(req, tok)
+        # Inactive slots also advanced their pos in the on-device vector? No:
+        # _pos is host state only updated for active slots; inactive slots
+        # wrote garbage at their stale position, which the causal mask of a
+        # future prefill overwrite makes irrelevant.
+        return out
+
+    def result(self, rid: int) -> List[int]:
+        return self._requests[rid].tokens
+
+    def is_done(self, rid: int) -> bool:
+        return self._requests[rid].done
+
+    def run_to_completion(self) -> None:
+        while self._by_slot:
+            self.step()

@@ -214,6 +214,13 @@ class QModuleMixin:
         if self.activation_qtype is None:
             return x
         if isinstance(x, QArray):
+            # Consuming an already-quantized input keeps the producer's
+            # output quantization alive through streamline.
+            from ..tensor.activations import mark_quantized_use
+
+            mark_quantized_use(x)
+            if self.calibrating and self._calibration is not None:
+                self._calibration.calibrate_input(self, x)
             return x
         if self.calibrating and self._calibration is not None:
             self._calibration.calibrate_input(self, x)
@@ -229,6 +236,14 @@ class QModuleMixin:
             return out
         if self.calibrating and self._calibration is not None:
             self._calibration.calibrate_output(self, out)
+            # During calibration, outputs ARE quantized (with the live scale)
+            # and tagged so streamline can observe how they are consumed
+            # (reference `calibrate.py:176-189` tag_outputs).
+            qout = quantize_activation(
+                out, self.activation_qtype, self.output_scale.get_value()
+            )
+            self._calibration.tag_output(self, qout)
+            return qout
         if not self.quantize_outputs:
             return out
         if self.qat:

@@ -104,8 +104,14 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
-def _pick_bn(n: int, k_packed: int, vmem_budget: int = 6 * 1024 * 1024) -> int:
-    limit = max(vmem_budget // (2 * max(k_packed, 1)), 128)
+# The kernel keeps the whole x [M, K] in VMEM: it is a DECODE kernel. Larger
+# (prefill-shaped) matmuls are compute-bound and use the XLA dequant fallback.
+_MAX_M = 256
+
+
+def _pick_bn(n: int, k_packed: int, m: int, x_itemsize: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+    vals_budget = vmem_budget - 2 * m * (k_packed * 2) * x_itemsize  # x (+f32 copy)
+    limit = max(vals_budget // (2 * max(k_packed, 1)), 128)
     for cand in (2048, 1024, 512, 256, 128):
         if cand <= limit and n % cand == 0:
             return cand
@@ -117,7 +123,7 @@ def _call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    bn = _pick_bn(N, Kpacked)
+    bn = _pick_bn(N, Kpacked, M, x.dtype.itemsize)
     kernel = functools.partial(_kernel, bits=bits, group_size=group_size)
     return pl.pallas_call(
         kernel,
@@ -174,6 +180,9 @@ def qbits_matmul_kernel_call(
     M = 1
     for d in lead:
         M *= d
+    if M > _MAX_M:
+        # Prefill-shaped: compute-bound, XLA dequant matmul is the right tool.
+        return None
     x2 = x.reshape(M, K)
     m_pad = -M % 8
     if m_pad:

@@ -100,6 +100,9 @@ def qbytes_matmul_kernel_call(
     M = 1
     for d in lead:
         M *= d
+    if M > 256:
+        # Decode kernel (whole x kept in VMEM); prefill uses the XLA path.
+        return None
     x2 = x.reshape(M, K)
     # Pad tiny decode batches up to one sublane tile.
     m_pad = -M % 8

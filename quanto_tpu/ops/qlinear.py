@@ -71,6 +71,9 @@ def qlinear(
     )
     if isinstance(w, WeightQBytesArray):
         if isinstance(x, ActivationQBytesArray):
+            from ..tensor.activations import mark_quantized_use
+
+            mark_quantized_use(x)
             # Combined scale: per-tensor activation scale times per-axis
             # weight scale (reference `weights/qbytes.py:68-75`).
             output = qbytes_mm(x.data, w.data, x.scale * w.scale)

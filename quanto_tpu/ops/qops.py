@@ -39,6 +39,9 @@ __all__ = [
 
 
 def _rewrap(x: ActivationQBytesArray, data: jnp.ndarray) -> ActivationQBytesArray:
+    from ..tensor.activations import mark_quantized_use
+
+    mark_quantized_use(x)
     return ActivationQBytesArray(
         _data=data, _scale=x._scale, qtype=x.qtype, float_dtype=x.float_dtype
     )
@@ -120,12 +123,11 @@ def qmatmul(a, b):
         and not a.qtype.is_floating_point
         and not b.qtype.is_floating_point
     ):
-        prod = jax.lax.dot_general(
-            a._data,
-            b._data,
-            dimension_numbers=(((a._data.ndim - 1,), (b._data.ndim - 2,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        from ..tensor.activations import mark_quantized_use
+
+        mark_quantized_use(a)
+        mark_quantized_use(b)
+        prod = jnp.matmul(a._data, b._data, preferred_element_type=jnp.int32)
         scale = a._scale.astype(jnp.float32) * b._scale.astype(jnp.float32)
         return (prod.astype(jnp.float32) * scale).astype(a.float_dtype)
     return jnp.matmul(dequantize(a), dequantize(b))

@@ -1,3 +1,4 @@
+from .distributed import global_mesh, initialize
 from .sharding import (
     GPT2_TP_RULES,
     LLAMA_TP_RULES,

@@ -132,16 +132,24 @@ def quantization_map(model) -> dict:
     return config
 
 
-def requantize(model, state_dict, quantization_map: dict) -> None:
+def requantize(model, state_dict, quantization_map: dict, device=None) -> None:
     """Re-apply a quantization map to a float skeleton model and load weights.
 
     `model` must be a float NNX model with the same structure the map was
     produced from. Mirrors the reference `requantize` (`quantize.py:101-140`):
     per-module quantize from the map, then state-dict restore (which rebuilds
-    frozen QArrays directly).
+    frozen QArrays directly). `device` optionally places every loaded array
+    (reference `quantize.py:107-110` device argument).
     """
+    import jax
+
     from .serialization import load_state_dict
 
+    if device is not None:
+        state_dict = {
+            k: jax.device_put(v, device) for k, v in
+            (state_dict.items() if hasattr(state_dict, "items") else ((k, state_dict[k]) for k in state_dict.keys()))
+        }
     for name, cfg in quantization_map.items():
         weights = None if cfg["weights"] == "none" else cfg["weights"]
         activations = None if cfg["activations"] == "none" else cfg["activations"]

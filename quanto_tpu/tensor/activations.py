@@ -23,7 +23,38 @@ from .qarray import QArray, register_qarray
 from .qtype import qtype
 
 
-__all__ = ["ActivationQBytesArray", "quantize_activation", "fake_quantize_activation"]
+__all__ = [
+    "ActivationQBytesArray",
+    "quantize_activation",
+    "fake_quantize_activation",
+    "attach_consumption_cell",
+    "mark_dequantized",
+    "mark_quantized_use",
+]
+
+
+def attach_consumption_cell(x: "ActivationQBytesArray", cell: dict) -> None:
+    """Attach a mutable consumption-tracking cell (calibration streamline).
+
+    The functional analogue of the reference's TorchFunctionMode consumption
+    tracking (`calibrate.py:90-105`): during the eager calibration pass,
+    consumers record whether a quantized output was used *as quantized data*
+    or merely dequantized, and `Calibration.__exit__` disables output
+    quantization for producers whose outputs are never consumed quantized.
+    """
+    object.__setattr__(x, "_track", cell)
+
+
+def mark_dequantized(x) -> None:
+    cell = getattr(x, "_track", None)
+    if cell is not None:
+        cell["dequantized"] = True
+
+
+def mark_quantized_use(x) -> None:
+    cell = getattr(x, "_track", None)
+    if cell is not None:
+        cell["quantized_use"] = True
 
 
 @register_qarray
@@ -56,6 +87,7 @@ class ActivationQBytesArray(QArray):
         return self._scale
 
     def dequantize(self) -> jnp.ndarray:
+        mark_dequantized(self)
         return dequantize_symmetric(self._data, self._scale, self.float_dtype)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -86,9 +87,22 @@ def _quantize_slot(t: jnp.ndarray, qt: qtype):
     return data, scale
 
 
+def _update(cache: jnp.ndarray, new: jnp.ndarray, pos) -> jnp.ndarray:
+    """Write `new` [B, T, ...] into `cache` [B, S, ...] at sequence offset
+    `pos` — a scalar (shared) or a [B] vector (per-slot, for continuous
+    batching)."""
+    pos = jnp.asarray(pos)
+    if pos.ndim == 0:
+        return lax.dynamic_update_slice(cache, new, (0,) + (pos,) + (0,) * (cache.ndim - 2))
+    zeros = (0,) * (cache.ndim - 2)
+    return jax.vmap(
+        lambda c, n, p: lax.dynamic_update_slice(c, n, (p,) + zeros)
+    )(cache, new, pos)
+
+
 def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
-    """Write new K/V ([B, T, H, D]) at `pos`; works for float tuple caches and
-    quantized QKVCacheLayer caches."""
+    """Write new K/V ([B, T, H, D]) at `pos` (scalar or per-batch [B] vector);
+    works for float tuple caches and quantized QKVCacheLayer caches."""
     if isinstance(layer_cache, QKVCacheLayer):
         from .qtype import qtypes
 
@@ -96,16 +110,17 @@ def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
         kd, ks = _quantize_slot(k, qt)
         vd, vs = _quantize_slot(v, qt)
         return QKVCacheLayer(
-            _k_data=lax.dynamic_update_slice(layer_cache._k_data, kd, (0, pos, 0, 0)),
-            _k_scale=lax.dynamic_update_slice(layer_cache._k_scale, ks, (0, pos, 0, 0)),
-            _v_data=lax.dynamic_update_slice(layer_cache._v_data, vd, (0, pos, 0, 0)),
-            _v_scale=lax.dynamic_update_slice(layer_cache._v_scale, vs, (0, pos, 0, 0)),
+            _k_data=_update(layer_cache._k_data, kd, pos),
+            _k_scale=_update(layer_cache._k_scale, ks, pos),
+            _v_data=_update(layer_cache._v_data, vd, pos),
+            _v_scale=_update(layer_cache._v_scale, vs, pos),
             qtype_name=layer_cache.qtype_name,
         )
     ck, cv = layer_cache
-    ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, pos, 0, 0))
-    cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, pos, 0, 0))
-    return (ck, cv)
+    return (
+        _update(ck, k.astype(ck.dtype), pos),
+        _update(cv, v.astype(cv.dtype), pos),
+    )
 
 
 def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,86 @@
+"""Continuous-batching engine tests: batched ragged decode matches
+single-sequence generation exactly, slots recycle, quantized caches work."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from flax import nnx
+
+import quanto_tpu as qt
+from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
+from quanto_tpu.models.serve import generate
+from quanto_tpu.models.serving import BatchedEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    m = LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
+    qt.quantize(m, weights="qint8", exclude="lm_head")
+    qt.freeze(m)
+    return m
+
+
+def _ref_generate(model, prompt, n):
+    out = generate(model, jnp.asarray(np.asarray(prompt, np.int32)[None]), n)
+    return np.asarray(out)[0, len(prompt):].tolist()
+
+
+def test_engine_matches_single_sequence(model):
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9, 3)]
+    n_new = 6
+    refs = [_ref_generate(model, p, n_new) for p in prompts]
+
+    engine = BatchedEngine(model, max_batch=4, max_len=32)
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert engine.is_done(rid)
+        assert engine.result(rid) == ref
+
+
+def test_engine_slot_recycling(model):
+    rng = np.random.RandomState(1)
+    engine = BatchedEngine(model, max_batch=2, max_len=32)
+    # Fill both slots, finish them, then reuse for a third request.
+    r1 = engine.add(rng.randint(0, 128, 4).tolist(), max_new_tokens=3)
+    r2 = engine.add(rng.randint(0, 128, 6).tolist(), max_new_tokens=3)
+    assert not engine.can_add()
+    engine.run_to_completion()
+    assert engine.can_add()
+    p3 = rng.randint(0, 128, 5).tolist()
+    r3 = engine.add(p3, max_new_tokens=4)
+    engine.run_to_completion()
+    assert engine.result(r3) == _ref_generate(model, p3, 4)
+
+
+def test_engine_ragged_midstream_add(model):
+    """A request added while others are mid-decode still decodes correctly."""
+    rng = np.random.RandomState(2)
+    p1 = rng.randint(0, 128, 7).tolist()
+    p2 = rng.randint(0, 128, 4).tolist()
+    n = 5
+    ref1 = _ref_generate(model, p1, n)
+    ref2 = _ref_generate(model, p2, n)
+    engine = BatchedEngine(model, max_batch=4, max_len=32)
+    r1 = engine.add(p1, max_new_tokens=n)
+    engine.step()
+    engine.step()
+    r2 = engine.add(p2, max_new_tokens=n)  # joins mid-stream
+    engine.run_to_completion()
+    assert engine.result(r1) == ref1
+    assert engine.result(r2) == ref2
+
+
+def test_engine_quantized_kv_cache(model):
+    rng = np.random.RandomState(3)
+    p = rng.randint(0, 128, 6).tolist()
+    engine = BatchedEngine(model, max_batch=2, max_len=32, kv_quant="qint8")
+    rid = engine.add(p, max_new_tokens=4)
+    engine.run_to_completion()
+    assert len(engine.result(rid)) == 4
