@@ -135,3 +135,29 @@ def test_qat_training_step_dp_tp():
         loss1, params = train_step(params, ids)
     assert np.isfinite(float(loss0))
     assert float(loss1) < float(loss0)
+
+
+def test_gpt2_tp_rules():
+    from quanto_tpu.models import GPT2Config, GPT2LMHeadModel
+    from quanto_tpu.parallel import GPT2_TP_RULES
+
+    cfg = GPT2Config(vocab_size=128, n_positions=32, n_embd=64, n_layer=2, n_head=4)
+    model = GPT2LMHeadModel(cfg, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int64)
+    ref, _ = model(ids)
+    qt.quantize(model, weights="qint8")
+    qt.freeze(model)
+    qref, _ = model(ids)
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, GPT2_TP_RULES)
+    c_attn = model.transformer.h[0].attn.c_attn.weight.get_value()
+    assert c_attn._data.sharding.spec == P("tp", None)
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        return nnx.merge(graphdef, state)(ids)[0]
+
+    with mesh:
+        out = fwd(state, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(qref), rtol=5e-5, atol=5e-5)
