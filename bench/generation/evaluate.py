@@ -16,7 +16,6 @@ environment: deltas and latency are still meaningful; absolute ppl is not).
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import sys
 
@@ -79,7 +78,6 @@ def main():
             qt.quantize(model, weights=weights, activations=activations, exclude="lm_head")
             if activations is not None:
                 ids = np.stack([tokens[i * 128 : (i + 1) * 128] for i in range(4)])
-                import jax as _jax
                 with qt.Calibration(model):
                     model(jnp.asarray(ids.astype(np.int32)))
             qt.freeze(model)

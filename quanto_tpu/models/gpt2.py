@@ -13,12 +13,11 @@ Module attribute names follow the HF layout (`transformer.h.N.attn.c_attn`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import nnx
-from jax import lax
 
 from .llama import KVCache
 

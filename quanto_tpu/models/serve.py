@@ -8,8 +8,7 @@ reference generates token-by-token from Python, `bench/generation/metrics/latenc
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

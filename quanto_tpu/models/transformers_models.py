@@ -16,10 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import jax.numpy as jnp
-from flax import nnx
 
 from ..quantize import freeze as freeze_model
 from ..quantize import get_module_by_name, quantization_map, quantize, set_module_by_name

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..tensor.activations import ActivationQBytesArray, quantize_activation
 from ..tensor.qarray import QArray, qfallback
-from ..tensor.qtype import qtype, qint8
+from ..tensor.qtype import qtype
 
 
 __all__ = [

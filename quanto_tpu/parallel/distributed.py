@@ -11,7 +11,7 @@ DCN — the standard scaling-book layout).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -26,12 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from .nn.qlayernorm import QLayerNorm
 from .nn.qmodule import QModuleMixin
 from .tensor.grouped import grouped_shape
 from .tensor.packed import PackedArray
 from .tensor.qarray import QArray
-from .tensor.qtype import qtypes
 from .tensor.weights import WeightQBitsArray, WeightQBitsTpuArray, WeightQBytesArray
 
 

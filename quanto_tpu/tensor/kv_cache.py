@@ -16,7 +16,7 @@ lax.scan carries, and `NamedSharding` like the float cache.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

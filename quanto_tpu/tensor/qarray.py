@@ -18,7 +18,7 @@ Because QArrays are pytrees they compose for free with `jit`, `grad`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
