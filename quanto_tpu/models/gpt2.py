@@ -76,15 +76,21 @@ class GPT2Attention(nnx.Module):
         k = k.reshape(B, T, self.num_heads, self.head_dim)
         v = v.reshape(B, T, self.num_heads, self.head_dim)
         new_cache = None
+        k_scale = v_scale = None
         if layer_cache is not None:
-            from ..tensor.kv_cache import kv_read, kv_update
+            from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v = kv_read(new_cache, q.dtype)
+            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype)
         scale = self.head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
         logits = logits * scale + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if v_scale is not None:
+            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
+        probs = probs.astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, C)
         return _maybe_deq(self.c_proj(out)), new_cache
 

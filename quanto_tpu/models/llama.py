@@ -176,23 +176,36 @@ class LlamaAttention(nnx.Module):
         k = _apply_rope(k, cos, sin)
 
         new_cache = None
+        k_scale = v_scale = None
         if layer_cache is not None:
-            from ..tensor.kv_cache import kv_read, kv_update
+            from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v = kv_read(new_cache, q.dtype)
+            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype)
 
         # Grouped-query attention: repeat kv heads up to q heads.
         groups = self.num_heads // self.num_kv_heads
         if groups > 1:
             k = jnp.repeat(k, groups, axis=2)
             v = jnp.repeat(v, groups, axis=2)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, groups, axis=2)
+                v_scale = jnp.repeat(v_scale, groups, axis=2)
 
-        # [B, H, Tq, Tk] logits on the MXU; accumulate in f32.
+        # [B, H, Tq, Tk] logits on the MXU; accumulate in f32. For quantized
+        # caches the per-slot scales factor out of the contractions: applied
+        # to the logits (k) and to the probabilities (v), so the int8 payload
+        # feeds the einsum directly (convert fused into the operand read).
         scale = self.head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if k_scale is not None:
+            # [B, S, H, 1] -> [B, H, 1, S]
+            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
         logits = logits * scale + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        probs = jax.nn.softmax(logits, axis=-1)
+        if v_scale is not None:
+            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
+        probs = probs.astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, self.num_heads * self.head_dim)
         out = self.o_proj(out)

@@ -124,10 +124,36 @@ def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
 
 
 def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-cache K/V in the compute dtype."""
+    """Full-cache K/V in the compute dtype (materializes the dequantization —
+    prefer `kv_read_raw` + scale factoring on the hot path)."""
     if isinstance(layer_cache, QKVCacheLayer):
         k = (layer_cache._k_data.astype(jnp.float32) * layer_cache._k_scale).astype(dtype)
         v = (layer_cache._v_data.astype(jnp.float32) * layer_cache._v_scale).astype(dtype)
         return k, v
     ck, cv = layer_cache
     return ck.astype(dtype), cv.astype(dtype)
+
+
+def kv_read_raw(layer_cache, dtype):
+    """(k, v, k_scale, v_scale) with scales None for float caches.
+
+    For quantized caches the payloads are returned as `dtype` WITHOUT the
+    scale multiply (XLA fuses the convert into the attention einsum's operand
+    read), and the per-slot scales come separately so attention can factor
+    them out of the contractions:
+
+        logits[b,h,q,s] = (q . k_int8[s]) * s_k[s]      (scale on logits)
+        out = (probs * s_v[s]) @ v_int8                  (scale on probs)
+
+    This moves the scale work from O(S*H*D) element dequant to O(H*T*S) —
+    measured necessary on v5e, where the materialized dequant made the int8
+    cache SLOWER than bf16."""
+    if isinstance(layer_cache, QKVCacheLayer):
+        return (
+            layer_cache._k_data.astype(dtype),
+            layer_cache._v_data.astype(dtype),
+            layer_cache._k_scale,
+            layer_cache._v_scale,
+        )
+    ck, cv = layer_cache
+    return ck.astype(dtype), cv.astype(dtype), None, None
