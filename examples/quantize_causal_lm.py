@@ -64,12 +64,13 @@ def main():
     print("generated token ids:", np.asarray(out)[0].tolist())
 
     out_dir = args.out or tempfile.mkdtemp(prefix="quanto_tpu_")
-    QuantizedModelForCausalLM(model).save_pretrained(out_dir) if hasattr(model, "_hf_config") else None
-    if hasattr(model, "_hf_config"):
-        reloaded = QuantizedModelForCausalLM.from_pretrained(out_dir)
-        out2 = generate(reloaded._wrapped, prompt, args.new_tokens)
-        assert np.array_equal(np.asarray(out), np.asarray(out2))
-        print(f"saved + reloaded identically from {out_dir}")
+    QuantizedModelForCausalLM(model).save_pretrained(out_dir)
+    reloaded = QuantizedModelForCausalLM.from_pretrained(
+        out_dir, dtype=model.config.dtype
+    )
+    out2 = generate(reloaded._wrapped, prompt, args.new_tokens)
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
+    print(f"saved + reloaded identically from {out_dir}")
 
 
 if __name__ == "__main__":

@@ -54,6 +54,43 @@ def build_model(hf_config, dtype=jnp.bfloat16, rngs=None):
     return _build_from_hf_config(hf_config, dtype=dtype, rngs=rngs)
 
 
+def _synthesize_hf_config(model):
+    """HF PretrainedConfig equivalent of a quanto_tpu-native model config."""
+    from .gpt2 import GPT2LMHeadModel
+    from .llama import LlamaForCausalLM
+
+    c = getattr(model, "config", None)
+    if c is None:
+        return None
+    if isinstance(model, LlamaForCausalLM):
+        from transformers import LlamaConfig as HFLlamaConfig
+
+        return HFLlamaConfig(
+            vocab_size=c.vocab_size,
+            hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            head_dim=c.head_dim,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps,
+            rope_theta=c.rope_theta,
+            tie_word_embeddings=c.tie_word_embeddings,
+            attention_bias=c.attention_bias,
+            mlp_bias=c.mlp_bias,
+            hidden_act=c.hidden_act,
+        )
+    if isinstance(model, GPT2LMHeadModel):
+        from transformers import GPT2Config as HFGPT2Config
+
+        return HFGPT2Config(
+            vocab_size=c.vocab_size, n_positions=c.n_positions, n_embd=c.n_embd,
+            n_layer=c.n_layer, n_head=c.n_head, layer_norm_epsilon=c.layer_norm_epsilon,
+        )
+    return None
+
+
 def _load_config(directory: str):
     from transformers import AutoConfig
 
@@ -157,6 +194,10 @@ class QuantizedTransformersModel:
         (reference `transformers_models.py:165-179`)."""
         os.makedirs(directory, exist_ok=True)
         hf_config = getattr(self._wrapped, "_hf_config", None)
+        if hf_config is None:
+            # Model built directly from a quanto_tpu config: synthesize the
+            # HF-style config.json so from_pretrained can rebuild it.
+            hf_config = _synthesize_hf_config(self._wrapped)
         if hf_config is not None:
             hf_config.save_pretrained(directory)
         with open(os.path.join(directory, QMAP_NAME), "w") as f:
