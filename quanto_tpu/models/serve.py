@@ -30,24 +30,31 @@ def make_prefill_fn(graphdef):
     return prefill
 
 
-def make_decode_fn(graphdef, n_tokens: int):
-    """Jitted greedy decode of `n_tokens` via lax.scan (single device call).
+def make_decode_fn(graphdef, n_tokens: int, sample_fn=None):
+    """Jitted decode of `n_tokens` via lax.scan (single device call).
 
-    Returns fn(state, tok [B,1], cache, pos0) -> (tokens [B,n], cache).
+    Greedy by default; pass `sample_fn(logits, key) -> ids` (see
+    `models.sampling.make_sampler`) for stochastic sampling. Returns
+    fn(state, tok [B,1], cache, pos0[, key]) -> (tokens [B,n], cache).
     """
+    from .sampling import greedy
+
+    sampler = sample_fn or greedy
 
     @jax.jit
-    def decode(state, tok, cache, pos0):
+    def decode(state, tok, cache, pos0, key=None):
         model = nnx.merge(graphdef, state)
+        key0 = key if key is not None else jax.random.PRNGKey(0)
 
         def body(carry, _):
-            tok, pos, cache = carry
+            tok, pos, cache, key = carry
             logits, cache = model(tok, cache, pos)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)[:, None]
-            return (nxt, pos + 1, cache), nxt[:, 0]
+            key, sub = jax.random.split(key)
+            nxt = sampler(logits[:, -1], sub).astype(tok.dtype)[:, None]
+            return (nxt, pos + 1, cache, key), nxt[:, 0]
 
-        (_, _, cache), toks = lax.scan(
-            body, (tok, jnp.asarray(pos0), cache), None, length=n_tokens
+        (_, _, cache, _), toks = lax.scan(
+            body, (tok, jnp.asarray(pos0), cache, key0), None, length=n_tokens
         )
         return jnp.transpose(toks), cache  # [B, n]
 

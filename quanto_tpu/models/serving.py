@@ -68,7 +68,10 @@ class BatchedEngine:
         self._requests: Dict[int, _Request] = {}
         self._by_slot: Dict[int, _Request] = {}
         self._next_rid = 0
-        self._sample = sample_fn or (lambda logits: jnp.argmax(logits, axis=-1))
+        from .sampling import greedy
+
+        self._sample = sample_fn or greedy
+        self._key = jax.random.PRNGKey(0)
 
         graphdef = self._graphdef
 
@@ -88,10 +91,10 @@ class BatchedEngine:
             return jax.tree_util.tree_map(put, cache, slot_cache)
 
         @jax.jit
-        def _step(state, toks, cache, pos):
+        def _step(state, toks, cache, pos, key):
             m = nnx.merge(graphdef, state)
             logits, cache = m(toks, cache, pos)
-            nxt = self._sample(logits[:, -1])
+            nxt = self._sample(logits[:, -1], key)
             return nxt.astype(jnp.int32), cache
 
         self._prefill_fn = _prefill
@@ -127,7 +130,8 @@ class BatchedEngine:
             slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
         ids = jnp.asarray(prompt[None, :])
         last_logits, slot_cache = self._prefill_fn(self._state, ids, slot_cache)
-        first_tok = int(jax.device_get(self._sample(last_logits)[0]))
+        self._key, sub = jax.random.split(self._key)
+        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
         self._cache = self._scatter_fn(self._cache, slot_cache, slot)
         self._pos[slot] = len(prompt)
         self._last_tok[slot] = first_tok
@@ -159,7 +163,8 @@ class BatchedEngine:
             return {}
         toks = jnp.asarray(self._last_tok[:, None])
         pos = jnp.asarray(self._pos)
-        nxt, self._cache = self._step_fn(self._state, toks, self._cache, pos)
+        self._key, sub = jax.random.split(self._key)
+        nxt, self._cache = self._step_fn(self._state, toks, self._cache, pos, sub)
         nxt = np.asarray(jax.device_get(nxt))
         out: Dict[int, int] = {}
         for slot, req in list(self._by_slot.items()):
