@@ -1,0 +1,60 @@
+"""Decode-attention dispatch shared by the model families.
+
+Routes single-token decode steps to the fused Pallas flash-decode kernel
+(`ops/pallas/flash_decode.py`) when enabled and in-envelope, returning None
+otherwise so the caller falls back to its XLA einsum path. Centralizing the
+gating keeps every model family (llama/mixtral/gpt2/opt) on the same rules —
+the analogue of the reference's per-backend kernel gating in
+`optimum/quanto/tensor/weights/qbits.py:94-138`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from . import config as ops_config
+
+
+__all__ = ["try_flash_decode"]
+
+
+def try_flash_decode(
+    q: jnp.ndarray,
+    new_cache,
+    cache_pos,
+    num_kv_heads: int,
+    head_dim: int,
+) -> Optional[jnp.ndarray]:
+    """Fused decode attention over the just-updated cache.
+
+    q: [B, 1, H, D] post-rope queries (T == 1 decode step). Returns
+    [B, 1, H*D] attention output, or None when the kernel is disabled or the
+    shapes/dtypes are outside its envelope.
+    """
+    if not ops_config.use_flash_decode():
+        return None
+    from ..tensor.kv_cache import QKVCacheLayer
+    from ..tensor.paged_kv import PagedKVLayer, paged_read_raw
+    from .pallas.flash_decode import flash_decode_call
+
+    B = q.shape[0]
+    num_heads = q.shape[2]
+    if isinstance(new_cache, QKVCacheLayer):
+        kd, vd = new_cache._k_data, new_cache._v_data
+        ks, vs = new_cache._k_scale, new_cache._v_scale
+    elif isinstance(new_cache, PagedKVLayer):
+        # Dense gathered view; in-kernel page-table indirection is the
+        # round-2 bandwidth optimization.
+        kd, vd, ks, vs = paged_read_raw(new_cache, B, new_cache._k_pages.dtype)
+    else:
+        (kd, vd), (ks, vs) = new_cache, (None, None)
+    pos_vec = jnp.broadcast_to(jnp.asarray(cache_pos).reshape(-1), (B,))
+    qg = q.reshape(B, num_kv_heads, num_heads // num_kv_heads, head_dim)
+    out = flash_decode_call(
+        qg, kd, vd, ks, vs, pos_vec, interpret=ops_config.pallas_interpret()
+    )
+    if out is None:
+        return None
+    return out.reshape(B, 1, num_heads * head_dim)

@@ -16,6 +16,7 @@ import jax
 _STATE = {
     "pallas_qbits": None,  # None = auto
     "pallas_qbytes": None,
+    "flash_decode": None,
 }
 
 
@@ -26,10 +27,15 @@ def _on_tpu() -> bool:
         return False
 
 
-def set_backend(pallas_qbits: bool | None = None, pallas_qbytes: bool | None = None) -> None:
+def set_backend(
+    pallas_qbits: bool | None = None,
+    pallas_qbytes: bool | None = None,
+    flash_decode: bool | None = None,
+) -> None:
     """Force Pallas kernels on/off (None restores auto-detection)."""
     _STATE["pallas_qbits"] = pallas_qbits
     _STATE["pallas_qbytes"] = pallas_qbytes
+    _STATE["flash_decode"] = flash_decode
 
 
 def use_pallas_qbits() -> bool:
@@ -37,7 +43,10 @@ def use_pallas_qbits() -> bool:
         return False
     if _STATE["pallas_qbits"] is not None:
         return _STATE["pallas_qbits"]
-    return _on_tpu()
+    # Auto: single-device only — pallas_call has no partitioning rule, so on
+    # a sharded mesh XLA would all-gather the operands. Sharded execution
+    # uses the XLA dequant path (or force the kernel on under shard_map).
+    return _on_tpu() and jax.device_count() == 1
 
 
 def use_pallas_qbytes() -> bool:
@@ -45,7 +54,25 @@ def use_pallas_qbytes() -> bool:
         return False
     if _STATE["pallas_qbytes"] is not None:
         return _STATE["pallas_qbytes"]
-    return _on_tpu()
+    return _on_tpu() and jax.device_count() == 1
+
+
+def use_flash_decode() -> bool:
+    """Fused Pallas decode attention — currently OPT-IN
+    (`set_backend(flash_decode=True)` or QUANTO_TPU_FLASH_DECODE=1).
+
+    The kernel is numerically verified but a ~5%-of-HBM-bandwidth Pallas
+    block-streaming floor (RESULTS.md ablations) makes it tie/lose to the
+    XLA einsum path on v5e; auto stays off until that is resolved. Not
+    XLA-partitionable: sharded meshes need shard_map to use it.
+    """
+    if os.environ.get("QUANTO_TPU_DISABLE_PALLAS"):
+        return False
+    if _STATE["flash_decode"] is not None:
+        return _STATE["flash_decode"]
+    if os.environ.get("QUANTO_TPU_FLASH_DECODE"):
+        return _on_tpu() and jax.device_count() == 1
+    return False
 
 
 def pallas_interpret() -> bool:

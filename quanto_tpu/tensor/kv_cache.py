@@ -36,9 +36,13 @@ __all__ = [
 
 
 def cache_max_len(layer_cache) -> int:
-    """Sequence capacity of a layer cache (float tuple or quantized)."""
+    """Sequence capacity of a layer cache (float tuple, quantized, paged)."""
+    from .paged_kv import PagedKVLayer, paged_max_len
+
     if isinstance(layer_cache, tuple):
         return layer_cache[0].shape[1]
+    if isinstance(layer_cache, PagedKVLayer):
+        return paged_max_len(layer_cache)
     return layer_cache._k_data.shape[1]
 
 
@@ -102,7 +106,11 @@ def _update(cache: jnp.ndarray, new: jnp.ndarray, pos) -> jnp.ndarray:
 
 def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
     """Write new K/V ([B, T, H, D]) at `pos` (scalar or per-batch [B] vector);
-    works for float tuple caches and quantized QKVCacheLayer caches."""
+    works for float tuples, quantized QKVCacheLayer and paged caches."""
+    from .paged_kv import PagedKVLayer, paged_update
+
+    if isinstance(layer_cache, PagedKVLayer):
+        return paged_update(layer_cache, k, v, pos)
     if isinstance(layer_cache, QKVCacheLayer):
         from .qtype import qtypes
 
@@ -134,8 +142,9 @@ def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ck.astype(dtype), cv.astype(dtype)
 
 
-def kv_read_raw(layer_cache, dtype):
+def kv_read_raw(layer_cache, dtype, batch: int = None):
     """(k, v, k_scale, v_scale) with scales None for float caches.
+    For paged caches, `batch` selects slots 0..batch-1 (dense gathered view).
 
     For quantized caches the payloads are returned as `dtype` WITHOUT the
     scale multiply (XLA fuses the convert into the attention einsum's operand
@@ -148,6 +157,10 @@ def kv_read_raw(layer_cache, dtype):
     This moves the scale work from O(S*H*D) element dequant to O(H*T*S) —
     measured necessary on v5e, where the materialized dequant made the int8
     cache SLOWER than bf16."""
+    from .paged_kv import PagedKVLayer, paged_read_raw
+
+    if isinstance(layer_cache, PagedKVLayer):
+        return paged_read_raw(layer_cache, batch, dtype)
     if isinstance(layer_cache, QKVCacheLayer):
         return (
             layer_cache._k_data.astype(dtype),
