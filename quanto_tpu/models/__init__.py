@@ -1,5 +1,7 @@
 from .llama import KVCache, LlamaConfig, LlamaForCausalLM, init_kv_cache
 from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .mixtral import MixtralConfig, MixtralForCausalLM
+from .opt import OPTConfig, OPTForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .diffusers_models import (
     QuantizedDiffusersModel,

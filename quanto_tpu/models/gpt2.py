@@ -78,10 +78,15 @@ class GPT2Attention(nnx.Module):
         new_cache = None
         k_scale = v_scale = None
         if layer_cache is not None:
+            from ..ops.attention import try_flash_decode
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype)
+            if T == 1:
+                out = try_flash_decode(q, new_cache, cache_pos, self.num_heads, self.head_dim)
+                if out is not None:
+                    return _maybe_deq(self.c_proj(out)), new_cache
+            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
         scale = self.head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         if k_scale is not None:

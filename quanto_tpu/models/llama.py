@@ -178,10 +178,21 @@ class LlamaAttention(nnx.Module):
         new_cache = None
         k_scale = v_scale = None
         if layer_cache is not None:
+            from ..ops.attention import try_flash_decode
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype)
+            if T == 1:
+                # Fused Pallas decode attention: one kernel reads the raw
+                # cache payload + per-slot scales and writes [B, H, D] —
+                # no HBM-round-tripping logits/probs intermediates.
+                out = try_flash_decode(q, new_cache, cache_pos, self.num_kv_heads, self.head_dim)
+                if out is not None:
+                    out = self.o_proj(out)
+                    if isinstance(out, QArray):
+                        out = out.dequantize()
+                    return out, new_cache
+            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
 
         # Grouped-query attention WITHOUT materializing repeated KV: fold the
         # query-head groups into a 5D einsum over shared kv heads. (A

@@ -16,7 +16,7 @@ from flax import nnx
 from jax import lax
 
 
-__all__ = ["make_prefill_fn", "make_decode_fn", "generate"]
+__all__ = ["make_prefill_fn", "make_decode_fn", "make_stacked_fns", "generate"]
 
 
 def make_prefill_fn(graphdef):
@@ -59,6 +59,45 @@ def make_decode_fn(graphdef, n_tokens: int, sample_fn=None):
         return jnp.transpose(toks), cache  # [B, n]
 
     return decode
+
+
+def make_stacked_fns(model, n_tokens: int, sample_fn=None):
+    """Scan-over-layers prefill + decode (compile-time path, see
+    `models/scan.py`: one compiled layer body instead of L unrolled copies).
+
+    Returns (runner, prefill, decode):
+        prefill(state, ids, cache, pos0) -> (logits, cache)
+        decode(state, tok, cache, pos0[, key]) -> (tokens [B, n], cache)
+    with `state = runner.state` and stacked caches from
+    `runner.init_kv_cache`.
+    """
+    from .sampling import greedy
+    from .scan import stack_model
+
+    runner = stack_model(model)
+    sampler = sample_fn or greedy
+
+    @jax.jit
+    def prefill(state, ids, cache, pos0=0):
+        return runner.apply(state, ids, cache, pos0)
+
+    @jax.jit
+    def decode(state, tok, cache, pos0, key=None):
+        key0 = key if key is not None else jax.random.PRNGKey(0)
+
+        def body(carry, _):
+            tok, pos, cache, key = carry
+            logits, cache = runner.apply(state, tok, cache, pos)
+            key, sub = jax.random.split(key)
+            nxt = sampler(logits[:, -1], sub).astype(tok.dtype)[:, None]
+            return (nxt, pos + 1, cache, key), nxt[:, 0]
+
+        (_, _, cache, _), toks = lax.scan(
+            body, (tok, jnp.asarray(pos0), cache, key0), None, length=n_tokens
+        )
+        return jnp.transpose(toks), cache
+
+    return runner, prefill, decode
 
 
 def generate(model, input_ids: jnp.ndarray, max_new_tokens: int, cache_len: Optional[int] = None):

@@ -28,7 +28,7 @@ import numpy as np
 from flax import nnx
 
 
-__all__ = ["BatchedEngine"]
+__all__ = ["BatchedEngine", "PagedEngine"]
 
 
 @dataclasses.dataclass
@@ -189,3 +189,109 @@ class BatchedEngine:
     def run_to_completion(self) -> None:
         while self._by_slot:
             self.step()
+
+
+class PagedEngine(BatchedEngine):
+    """Continuous batching over a PAGED KV cache (vLLM-style page pool).
+
+    HBM capacity is `n_pages * page_size` tokens shared by all slots instead
+    of `max_batch * max_len` preallocated per slot — short sequences no
+    longer reserve worst-case cache. Pages are reserved at `add()` for
+    `prompt + max_new_tokens` (on-demand growth: round 2); page 0 is scratch
+    (never allocated) so unassigned table entries scatter harmlessly.
+
+    Prefill writes straight through the request's page-table row (no
+    post-prefill scatter copy — the row slice IS the slot's cache view).
+    """
+
+    def __init__(
+        self,
+        model,
+        max_batch: int = 8,
+        max_len: int = 512,
+        n_pages: int = 64,
+        page_size: int = 64,
+        kv_quant=None,
+        eos_token_id: Optional[int] = None,
+        sample_fn: Optional[Callable] = None,
+    ):
+        from ..tensor.paged_kv import init_paged_kv_cache
+
+        # BatchedEngine.__init__ builds the dense cache; call it, then swap
+        # the cache for the paged pool (jit fns are cache-agnostic: kv_update
+        # / kv_read_raw dispatch on the layer type).
+        super().__init__(
+            model, max_batch=max_batch, max_len=max_len, kv_quant=kv_quant,
+            eos_token_id=eos_token_id, sample_fn=sample_fn,
+        )
+        c = model.config
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.pages_per_slot = (max_len + page_size - 1) // page_size
+        heads = getattr(c, "num_key_value_heads", None) or getattr(
+            c, "num_attention_heads", None
+        ) or c.n_head
+        head_dim = getattr(c, "head_dim", None) or (
+            getattr(c, "hidden_size", getattr(c, "n_embd", None)) // heads
+            if getattr(c, "num_key_value_heads", None) is None
+            else c.head_dim
+        )
+        self._cache = init_paged_kv_cache(
+            len(self._cache), n_pages, page_size, max_batch,
+            self.pages_per_slot, heads, head_dim,
+            kv_quant=kv_quant, dtype=c.dtype,
+        )
+        self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
+        self._free_pages = list(range(1, n_pages))  # page 0 reserved
+        self._slot_pages: Dict[int, List[int]] = {}
+
+    def _with_table(self, cache, table_rows):
+        table = jnp.asarray(table_rows)
+        return tuple(
+            dataclasses.replace(layer, _table=table) if hasattr(layer, "_table") else layer
+            for layer in cache
+        )
+
+    def add(self, prompt_ids, max_new_tokens: int = 64) -> int:
+        if not self._free:
+            raise RuntimeError("no free slots (call step() until one finishes)")
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        total = len(prompt) + max_new_tokens
+        if total > self.max_len:
+            raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        n_needed = (total + self.page_size - 1) // self.page_size
+        if n_needed > len(self._free_pages):
+            raise RuntimeError("page pool exhausted")
+        slot = self._free.pop()
+        pages = [self._free_pages.pop() for _ in range(n_needed)]
+        self._slot_pages[slot] = pages
+        self._table[slot] = 0
+        self._table[slot, : len(pages)] = pages
+
+        # Prefill through the slot's table row: the sliced view writes the
+        # shared pages in place.
+        cache_view = self._with_table(self._cache, self._table[slot : slot + 1])
+        ids = jnp.asarray(prompt[None, :])
+        last_logits, cache_view = self._prefill_fn(self._state, ids, cache_view)
+        self._cache = self._with_table(cache_view, self._table)
+        self._key, sub = jax.random.split(self._key)
+        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
+        self._pos[slot] = len(prompt)
+        self._last_tok[slot] = first_tok
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, slot, len(prompt), max_new_tokens, [first_tok])
+        self._requests[rid] = req
+        self._by_slot[slot] = req
+        self._maybe_finish(req, first_tok)
+        return rid
+
+    def _maybe_finish(self, req: _Request, tok: int) -> None:
+        was_done = req.done
+        super()._maybe_finish(req, tok)
+        if req.done and not was_done:
+            # Release the slot's pages back to the pool.
+            pages = self._slot_pages.pop(req.slot, [])
+            self._free_pages.extend(pages)
+            self._table[req.slot] = 0
+            self._cache = self._with_table(self._cache, self._table)

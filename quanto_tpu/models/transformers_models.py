@@ -39,14 +39,21 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
     """Instantiate the right NNX architecture for a transformers config."""
     from .gpt2 import GPT2Config, GPT2LMHeadModel
     from .llama import LlamaConfig, LlamaForCausalLM
+    from .opt import OPTConfig, OPTForCausalLM
 
     model_type = getattr(hf_config, "model_type", None) or hf_config.get("model_type")
     if model_type in ("llama", "mistral", "qwen2", "gemma"):
         return LlamaForCausalLM(LlamaConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "mixtral":
+        from .mixtral import MixtralConfig, MixtralForCausalLM
+
+        return MixtralForCausalLM(MixtralConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "gpt2":
         return GPT2LMHeadModel(GPT2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "opt":
+        return OPTForCausalLM(OPTConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, gpt2"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, gpt2, opt"
     )
 
 
@@ -87,6 +94,19 @@ def _synthesize_hf_config(model):
         return HFGPT2Config(
             vocab_size=c.vocab_size, n_positions=c.n_positions, n_embd=c.n_embd,
             n_layer=c.n_layer, n_head=c.n_head, layer_norm_epsilon=c.layer_norm_epsilon,
+        )
+    from .opt import OPTForCausalLM
+
+    if isinstance(model, OPTForCausalLM):
+        from transformers import OPTConfig as HFOPTConfig
+
+        return HFOPTConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size, ffn_dim=c.ffn_dim,
+            num_hidden_layers=c.num_hidden_layers, num_attention_heads=c.num_attention_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            word_embed_proj_dim=c.word_embed_proj_dim,
+            do_layer_norm_before=c.do_layer_norm_before, enable_bias=c.enable_bias,
+            tie_word_embeddings=c.tie_word_embeddings,
         )
     return None
 
