@@ -29,6 +29,6 @@ from .quantize import (  # noqa: F401
     requantize,
     set_module_by_name,
 )
-from .calibrate import Calibration, absmax_scale  # noqa: F401
+from .calibrate import Calibration, absmax_scale, calibrate_jit  # noqa: F401
 from . import serialization  # noqa: F401
 from .serialization import load_state_dict, state_dict  # noqa: F401

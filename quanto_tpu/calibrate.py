@@ -38,7 +38,28 @@ from .tensor.qarray import QArray
 from .tensor.qtype import qtype, qint8
 
 
-__all__ = ["absmax_scale", "Calibration"]
+__all__ = ["absmax_scale", "Calibration", "calibrate_jit"]
+
+
+def calibrate_jit(model, batches, *, momentum: float = 0.9, streamline: bool = True) -> None:
+    """Calibrate with each forward jitted (large calibration sets).
+
+    The eager `Calibration` context pays per-op tunnel round trips; here each
+    batch is ONE device call: scale EMAs are traced NNX variable mutations
+    (`nnx.jit` carries them), and the streamline consumption tagging happens
+    at trace time, which records the same consumer graph. Debug tracing is
+    eager-only.
+    """
+    from flax import nnx
+
+    with Calibration(model, momentum=momentum, streamline=streamline):
+
+        @nnx.jit
+        def step(model, batch):
+            model(batch)
+
+        for batch in batches:
+            step(model, batch)
 
 
 def absmax_scale(base: jnp.ndarray, qt: qtype = qint8, axis: Optional[int] = None) -> jnp.ndarray:
@@ -49,12 +70,18 @@ def absmax_scale(base: jnp.ndarray, qt: qtype = qint8, axis: Optional[int] = Non
 def _updated_scale(scale: jnp.ndarray, new_scale: jnp.ndarray, momentum: float) -> jnp.ndarray:
     """EMA update; adopt the new scale outright while uninitialized (== 1).
 
-    Mirrors the reference `_updated_scale` (`calibrate.py:31-34`).
+    Mirrors the reference `_updated_scale` (`calibrate.py:31-34`), but as a
+    traceable select instead of a host-synced branch, so whole calibration
+    steps can run under `nnx.jit` (`calibrate_jit`) — one device call per
+    batch instead of one sync per module per batch.
     """
     new_scale = jnp.asarray(new_scale, dtype=jnp.float32).reshape(())
-    if float(scale) == 1.0:
-        return new_scale
-    return momentum * jnp.asarray(scale, jnp.float32) + new_scale * (1.0 - momentum)
+    scale = jnp.asarray(scale, jnp.float32)
+    return jnp.where(
+        jnp.equal(scale, 1.0),
+        new_scale,
+        momentum * scale + new_scale * (1.0 - momentum),
+    )
 
 
 class Calibration:

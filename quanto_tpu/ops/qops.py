@@ -30,6 +30,12 @@ __all__ = [
     "qtranspose",
     "qreshape",
     "qcat",
+    "qstack",
+    "qsplit",
+    "qslice",
+    "qselect",
+    "qexpand",
+    "qwhere",
     "qmul_scalar",
     "qrelu",
     "qsoftmax",
@@ -77,6 +83,64 @@ def qcat(xs: Sequence, axis: int = 0):
             if scales_equal:
                 return _rewrap(first, jnp.concatenate([x._data for x in xs], axis=axis))
     return jnp.concatenate([dequantize(x) for x in xs], axis=axis)
+
+
+def _same_quantization(xs: Sequence) -> bool:
+    if not xs or not all(isinstance(x, ActivationQBytesArray) for x in xs):
+        return False
+    first = xs[0]
+    if not all(
+        x.qtype == first.qtype and x._scale.shape == first._scale.shape for x in xs[1:]
+    ):
+        return False
+    return all(bool(jnp.all(x._scale == first._scale)) for x in xs[1:])
+
+
+def qstack(xs: Sequence, axis: int = 0):
+    """Stack along a new axis; stays quantized when scales/qtypes agree
+    (reference `qbytes_ops.py` stack)."""
+    if _same_quantization(list(xs)):
+        return _rewrap(xs[0], jnp.stack([x._data for x in xs], axis=axis))
+    return jnp.stack([dequantize(x) for x in xs], axis=axis)
+
+
+def qsplit(x, indices_or_sections, axis: int = 0):
+    """Split reindexes the payload per part (reference `qbytes_ops.py` split)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return jnp.split(x, indices_or_sections, axis=axis)
+    return [_rewrap(x, part) for part in jnp.split(x._data, indices_or_sections, axis=axis)]
+
+
+def qslice(x, idx):
+    """Payload indexing/slicing — the analogue of the reference's
+    select/slice/unsqueeze ATen handlers (`qbytes_ops.py`): per-tensor scale
+    is position-independent, so any indexing of the codes is exact."""
+    if not isinstance(x, ActivationQBytesArray):
+        return x[idx]
+    return _rewrap(x, x._data[idx])
+
+
+def qselect(x, axis: int, index: int):
+    """Select one index along an axis (reference `qbytes_ops.py` select)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return jnp.take(x, index, axis=axis)
+    return _rewrap(x, jnp.take(x._data, index, axis=axis))
+
+
+def qexpand(x, shape):
+    """Broadcast to a larger shape (reference `qbytes_ops.py` expand)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return jnp.broadcast_to(x, shape)
+    return _rewrap(x, jnp.broadcast_to(x._data, shape))
+
+
+def qwhere(cond, a, b):
+    """Element select; stays quantized when both branches share quantization
+    (scale-exactness rule as `qcat`), otherwise dequantizes (the reference
+    routes mixed cases through `qfallback`)."""
+    if _same_quantization([a, b]):
+        return _rewrap(a, jnp.where(cond, a._data, b._data))
+    return jnp.where(cond, dequantize(a), dequantize(b))
 
 
 def qmul_scalar(x, scalar):

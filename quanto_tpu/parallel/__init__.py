@@ -1,6 +1,7 @@
 from .distributed import global_mesh, initialize
 from .sharding import (
     GPT2_TP_RULES,
+    MIXTRAL_TP_RULES,
     LLAMA_TP_RULES,
     ShardingRule,
     make_mesh,

@@ -30,7 +30,7 @@ from flax import nnx
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..tensor.qarray import QArray
-from ..tensor.weights import WeightQBitsArray, WeightQBytesArray
+from ..tensor.weights import WeightQBitsArray, WeightQBitsTpuArray, WeightQBytesArray
 
 
 __all__ = [
@@ -72,6 +72,20 @@ GPT2_TP_RULES: Tuple[ShardingRule, ...] = (
     (r"\b(c_attn|c_fc)\b", P("tp", None)),  # column-parallel
     (r"\bc_proj\b", P(None, "tp")),  # row-parallel
     (r"\b(wte|wpe)\b", P("tp", None)),
+)
+
+# Mixtral: attention as llama; every expert's SwiGLU shards like the dense
+# MLP (w1/w3 column-, w2 row-parallel) and the tiny router gate replicates.
+# With the dense-mask MoE all experts run on all devices; an "ep" axis
+# (experts scattered across devices via shard_map dispatch) is the round-2
+# scale-out path.
+MIXTRAL_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(q_proj|k_proj|v_proj)\b", P("tp", None)),
+    (r"\bo_proj\b", P(None, "tp")),
+    (r"\bexperts\.\d+\.(w1|w3)\b", P("tp", None)),
+    (r"\bexperts\.\d+\.w2\b", P(None, "tp")),
+    (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
 )
 
 
@@ -116,12 +130,28 @@ def _shard_qweight(qw: QArray, mesh: Mesh, spec: P):
             float_dtype=qw.float_dtype,
             activation_qtype=qw.activation_qtype,
         )
+    if isinstance(qw, WeightQBitsTpuArray):
+        # TPU split-half layout shards cleanly along N (out-features):
+        # `_packed` is [N, K*bits/8] and the transposed group scales/shifts
+        # are [G, N] — both carry N as an axis, so a column-parallel spec
+        # shards payload and scales congruently. Row-parallel (K) sharding
+        # would split the split-half nibble pairs across devices; keep those
+        # replicated (they are 4-8x smaller than bf16 already).
+        out_axis = spec[0] if len(spec) > 0 else None
+        return WeightQBitsTpuArray(
+            _packed=_put(qw._packed, mesh, P(out_axis, None)),
+            _scale_t=_put(qw._scale_t, mesh, P(None, out_axis)),
+            _shift_t=_put(qw._shift_t, mesh, P(None, out_axis)),
+            qtype=qw.qtype,
+            group_size=qw.group_size,
+            orig_shape=qw.orig_shape,
+            float_dtype=qw.float_dtype,
+        )
     if isinstance(qw, WeightQBitsArray):
-        # Packed sub-byte payloads use the grouped (row-major) layout packed
-        # along axis 0: rows mix output channels, so only column-parallel
-        # sharding where the group structure divides cleanly is safe. For
-        # now, replicate sub-byte weights (they are 4-8x smaller already) —
-        # a Pallas-layout-aware TP shard lands with the kernel work.
+        # Generic grouped layout: the packed payload's rows interleave output
+        # channels (pack along axis 0 of the grouped view), so sharding it
+        # would split nibble pairs across devices. Replicate; `optimize()`
+        # (→ WeightQBitsTpuArray) is the shardable layout.
         return qw
     return qw
 

@@ -96,10 +96,22 @@ def _rebuild_qweight(module: QModuleMixin, prefix: str, sd, float_dtype) -> Opti
     packed_key = f"{prefix}._data._data"
     if packed_key not in sd:
         return None
+    wshape = tuple(module.weight_shape)
+    from .ops import config as _cfg
+
+    if _cfg.use_pallas_qbits():
+        # Native one-pass host repack straight into the kernel layout
+        # (skips the device-side unpack/ungroup/repack round trip).
+        tpu_qw = WeightQBitsTpuArray.from_serialized_host(
+            sd[packed_key], sd[f"{prefix}._scale"], sd[f"{prefix}._shift"],
+            qt, module.weight_group_size, wshape,
+            jnp.asarray(sd[f"{prefix}._scale"]).dtype,
+        )
+        if tpu_qw is not None:
+            return tpu_qw
     packed = jnp.asarray(sd[packed_key]).astype(jnp.uint8)
     scale = jnp.asarray(sd[f"{prefix}._scale"])
     shift = jnp.asarray(sd[f"{prefix}._shift"])
-    wshape = tuple(module.weight_shape)
     gshape = (
         grouped_shape(wshape, 0, module.weight_group_size)
         if module.weight_group_size is not None

@@ -208,19 +208,28 @@ class WeightQBitsTpuArray(QArray):
     orig_shape: Tuple[int, ...]
     float_dtype: jnp.dtype
 
+    @staticmethod
+    def eligible(orig_shape: Tuple[int, ...], bits: int, group_size: Optional[int]) -> bool:
+        """Kernel-layout constraints (mirrors `ops/pallas/qbits_mm.py` gating)."""
+        if len(orig_shape) != 2 or bits not in (2, 4):
+            return False
+        N, K = orig_shape
+        vals = 8 // bits
+        gs = group_size if group_size is not None else K
+        if N % 128 != 0 or (K // vals) % 128 != 0:
+            return False
+        if gs != K and (gs % 128 != 0 or (K // vals) % gs != 0):
+            return False
+        return True
+
     @classmethod
     def from_generic(cls, w: "WeightQBitsArray") -> Optional["WeightQBitsTpuArray"]:
         from ..ops.pallas.qbits_mm import pack_split_half
 
-        if w.axis != 0 or len(w.orig_shape) != 2:
+        if w.axis != 0 or not cls.eligible(w.orig_shape, w.qtype.bits, w.group_size):
             return None
         N, K = w.orig_shape
-        vals = 8 // w.qtype.bits
         gs = w.group_size if w.group_size is not None else K
-        if N % 128 != 0 or (K // vals) % 128 != 0:
-            return None
-        if gs != K and (gs % 128 != 0 or (K // vals) % gs != 0):
-            return None
         codes = ungroup(w._data.unpack(), w.axis, w.orig_shape)
         G = K // gs
         scale = jnp.asarray(w._scale, jnp.float32).reshape(N, G)
@@ -238,6 +247,54 @@ class WeightQBitsTpuArray(QArray):
             group_size=w.group_size,
             orig_shape=tuple(w.orig_shape),
             float_dtype=w.float_dtype,
+        )
+
+    @classmethod
+    def from_serialized_host(
+        cls,
+        packed_np,
+        scale_np,
+        shift_np,
+        qt: qtype,
+        group_size: Optional[int],
+        orig_shape: Tuple[int, ...],
+        float_dtype,
+    ) -> Optional["WeightQBitsTpuArray"]:
+        """Build directly from host (numpy) serialized tensors via the native
+        single-pass repack (`native/quanto_native.cpp:qt_repack_grouped_to_
+        splithalf`) — one C++ pass + one device_put instead of shipping the
+        grouped payload to the device and round-tripping unpack/ungroup/
+        repack ops through the TPU tunnel. Returns None when the native
+        library is unavailable or the shape is outside the kernel envelope
+        (caller falls back to `optimize()`)."""
+        import numpy as np
+
+        from .. import native
+
+        if not cls.eligible(tuple(orig_shape), qt.bits, group_size):
+            return None
+        N, K = orig_shape
+        gs = group_size if group_size is not None else K
+        packed = native.repack_grouped_to_splithalf(
+            np.asarray(packed_np), N, K, gs, qt.bits
+        )
+        if packed is None:
+            return None
+        G = K // gs
+        scale = np.asarray(scale_np, np.float32).reshape(N, G)
+        shift = np.asarray(shift_np)
+        if np.issubdtype(shift.dtype, np.floating):
+            shift = shift.astype(np.float32).reshape(N, G)
+        else:
+            shift = scale * shift.astype(np.float32).reshape(N, G)
+        return cls(
+            _packed=jnp.asarray(packed),
+            _scale_t=jnp.asarray(scale.T),
+            _shift_t=jnp.asarray(shift.T),
+            qtype=qt,
+            group_size=group_size,
+            orig_shape=tuple(orig_shape),
+            float_dtype=jnp.dtype(float_dtype),
         )
 
     def to_generic(self) -> "WeightQBitsArray":

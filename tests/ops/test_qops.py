@@ -83,3 +83,62 @@ def test_qmatmul_int8():
     out = qops.qmatmul(qa, qb)
     ref = qa.dequantize() @ qb.dequantize()
     assert_similar(out, ref, rtol=1e-3)
+
+
+def test_qstack_same_scale_stays_quantized():
+    a = random_qactivation((4, 8), qt.qint8)
+    b = qops._rewrap(a, a._data + 1)
+    out = qops.qstack([a, b], axis=0)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_array_equal(
+        np.asarray(out._data), np.stack([np.asarray(a._data), np.asarray(b._data)])
+    )
+
+
+def test_qsplit_reindexes_payload():
+    a = random_qactivation((4, 8), qt.qint8)
+    parts = qops.qsplit(a, 2, axis=0)
+    assert len(parts) == 2
+    for i, p in enumerate(parts):
+        assert isinstance(p, qt.ActivationQBytesArray)
+        np.testing.assert_allclose(
+            np.asarray(p.dequantize()), np.asarray(a.dequantize())[i * 2 : (i + 1) * 2]
+        )
+
+
+def test_qslice_and_select_exact():
+    a = random_qactivation((4, 8), qt.qint8)
+    s = qops.qslice(a, (slice(1, 3), slice(None)))
+    assert isinstance(s, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(s.dequantize()), np.asarray(a.dequantize())[1:3]
+    )
+    sel = qops.qselect(a, 0, 2)
+    np.testing.assert_allclose(
+        np.asarray(sel.dequantize()), np.asarray(a.dequantize())[2]
+    )
+
+
+def test_qexpand_broadcasts_payload():
+    a = random_qactivation((1, 8), qt.qint8)
+    out = qops.qexpand(a, (4, 8))
+    assert isinstance(out, qt.ActivationQBytesArray)
+    assert out._data.shape == (4, 8)
+
+
+def test_qwhere_same_scale_stays_quantized():
+    a = random_qactivation((4, 8), qt.qint8)
+    b = qops._rewrap(a, a._data + 1)
+    cond = jnp.asarray(np.random.RandomState(0).rand(4, 8) > 0.5)
+    out = qops.qwhere(cond, a, b)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    ref = jnp.where(cond, a.dequantize(), b.dequantize())
+    np.testing.assert_allclose(np.asarray(out.dequantize()), np.asarray(ref))
+
+
+def test_qwhere_mixed_dequantizes():
+    a = random_qactivation((4, 8), qt.qint8)
+    b = random_tensor((4, 8))
+    cond = jnp.asarray(np.random.RandomState(1).rand(4, 8) > 0.5)
+    out = qops.qwhere(cond, a, b)
+    assert not isinstance(out, qt.ActivationQBytesArray)

@@ -161,3 +161,94 @@ def test_gpt2_tp_rules():
     with mesh:
         out = fwd(state, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(qref), rtol=5e-5, atol=5e-5)
+
+
+def test_tp_sharded_qbits_forward_matches_unsharded():
+    """Sub-byte (int4 g128) weights in the TPU split-half layout shard along
+    N for column-parallel projections; scales/shifts shard congruently."""
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray
+
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        dtype=jnp.float32,
+    )
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    # Force the TPU kernel layout at freeze (off-TPU default keeps the
+    # generic layout), then run the sharded forward on the XLA path.
+    from quanto_tpu.ops import config as ops_config
+
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(model)
+    finally:
+        ops_config.set_backend()
+    ref, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+
+    qw = model.model.layers[0].self_attn.q_proj.weight.get_value()
+    assert isinstance(qw, WeightQBitsTpuArray)
+    assert qw._packed.sharding.spec == P("tp", None)
+    assert qw._scale_t.sharding.spec == P(None, "tp")
+    assert qw._shift_t.sharding.spec == P(None, "tp")
+    # Row-parallel sub-byte weights stay replicated (split-half K cannot shard).
+    down = model.model.layers[0].mlp.down_proj.weight.get_value()
+    assert isinstance(down, WeightQBitsTpuArray)
+    assert down._packed.sharding.spec in (P(), P(None, None))
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        m = nnx.merge(graphdef, state)
+        return m(ids)[0]
+
+    with mesh:
+        out = fwd(state, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_mixtral_tp_rules():
+    from quanto_tpu.models import MixtralConfig, MixtralForCausalLM
+    from quanto_tpu.parallel import MIXTRAL_TP_RULES
+
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    model = MixtralForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+    qt.quantize(model, weights="qint8", exclude=["lm_head", "*gate"])
+    qt.freeze(model)
+    ref, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, MIXTRAL_TP_RULES)
+    from jax.sharding import PartitionSpec as P2
+
+    w1 = model.model.layers[0].block_sparse_moe.experts[0].w1.weight.get_value()
+    assert w1._data.sharding.spec == P2("tp", None)
+    w2 = model.model.layers[0].block_sparse_moe.experts[0].w2.weight.get_value()
+    assert w2._data.sharding.spec == P2(None, "tp")
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        m = nnx.merge(graphdef, state)
+        return m(ids)[0]
+
+    with mesh:
+        out = fwd(state, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)

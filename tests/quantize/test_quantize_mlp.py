@@ -124,3 +124,35 @@ def test_quantized_weights_memory_smaller():
     assert packed.dtype == jnp.uint8
     # 256x256 int4 packs into 128x256 bytes.
     assert packed.size * 8 == 256 * 256 * 4
+
+
+def test_calibrate_jit_matches_eager():
+    """`calibrate_jit` (one device call per batch) produces the same scales
+    and streamline decisions as the eager Calibration context."""
+    batches = [random_tensor((8, 32), key=jax.random.PRNGKey(i)) for i in range(3)]
+
+    eager = _fresh_mlp()
+    qt.quantize(eager, weights="qint8", activations="qint8")
+    with qt.Calibration(eager):
+        for b in batches:
+            eager(b)
+
+    jitted = _fresh_mlp()
+    qt.quantize(jitted, weights="qint8", activations="qint8")
+    qt.calibrate_jit(jitted, batches)
+
+    for (name, me), (_, mj) in zip(qt.named_qmodules(eager), qt.named_qmodules(jitted)):
+        np.testing.assert_allclose(
+            np.asarray(me.input_scale.get_value()),
+            np.asarray(mj.input_scale.get_value()),
+            rtol=1e-6, err_msg=f"{name}.input_scale",
+        )
+        np.testing.assert_allclose(
+            np.asarray(me.output_scale.get_value()),
+            np.asarray(mj.output_scale.get_value()),
+            rtol=1e-6, err_msg=f"{name}.output_scale",
+        )
+        assert me.quantize_outputs == mj.quantize_outputs, name
+    qt.freeze(jitted)
+    out = jitted(batches[0])
+    assert np.isfinite(np.asarray(out)).all()

@@ -67,3 +67,60 @@ def test_native_unpack_matches_python():
     )
     assert rc == 0
     np.testing.assert_array_equal(out, codes)
+
+
+def test_from_serialized_host_matches_device_optimize():
+    """Checkpoint load path: the native host repack produces the exact
+    WeightQBitsTpuArray the device-side optimize() builds."""
+    from quanto_tpu.tensor.qtype import qint4
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray, quantize_weight
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+
+    rng = np.random.RandomState(2)
+    w = jnp.asarray(rng.randn(128, 256), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128)
+    ref = qw.optimize()
+    assert isinstance(ref, WeightQBitsTpuArray)
+
+    got = WeightQBitsTpuArray.from_serialized_host(
+        np.asarray(qw._data._data), np.asarray(qw._scale), np.asarray(qw._shift),
+        qint4, 128, (128, 256), jnp.float32,
+    )
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got._packed), np.asarray(ref._packed))
+    np.testing.assert_allclose(np.asarray(got._scale_t), np.asarray(ref._scale_t))
+    np.testing.assert_allclose(np.asarray(got._shift_t), np.asarray(ref._shift_t))
+
+
+def test_load_state_dict_uses_native_repack():
+    """End-to-end: loading an int4 checkpoint with the pallas backend forced
+    on yields kernel-layout weights and identical dequantized values."""
+    from flax import nnx
+
+    from quanto_tpu.ops import config as ops_config
+    from quanto_tpu.serialization import load_state_dict, state_dict
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray
+
+    class MLP(nnx.Module):
+        def __init__(self, rngs):
+            self.fc = nnx.Linear(256, 128, use_bias=False, param_dtype=jnp.float32, rngs=rngs)
+
+    model = MLP(nnx.Rngs(0))
+    qt.quantize(model, weights="qint4")
+    qt.freeze(model)
+    sd = {k: np.asarray(v) for k, v in state_dict(model).items()}
+    ref = model.fc.weight.get_value().dequantize()
+
+    model2 = MLP(nnx.Rngs(1))
+    qt.quantize(model2, weights="qint4")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        load_state_dict(model2, sd, strict=False)
+    finally:
+        ops_config.set_backend()
+    qw = model2.fc.weight.get_value()
+    assert isinstance(qw, WeightQBitsTpuArray)
+    np.testing.assert_allclose(
+        np.asarray(qw.dequantize()), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
