@@ -46,6 +46,8 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
     attention_bias: bool = False
+    # Qwen2-style: bias on q/k/v projections only (o_proj stays bias-free).
+    qkv_bias: bool = False
     mlp_bias: bool = False
     hidden_act: str = "silu"
     # Gemma variants: RMSNorm computes x * (1 + w) and embeddings are scaled
@@ -82,6 +84,8 @@ class LlamaConfig:
             rope_theta=get("rope_theta", 10000.0),
             tie_word_embeddings=get("tie_word_embeddings", False),
             attention_bias=get("attention_bias", False),
+            # HF Qwen2 hardcodes qkv bias (its config has no attention_bias).
+            qkv_bias=get("attention_bias", get("model_type") in ("qwen2", "qwen2_moe")),
             mlp_bias=get("mlp_bias", False),
             dtype=dtype,
         )
@@ -156,9 +160,10 @@ class LlamaAttention(nnx.Module):
         self.num_heads = c.num_attention_heads
         self.num_kv_heads = c.num_key_value_heads
         self.head_dim = c.head_dim
-        self.q_proj = nnx.Linear(c.hidden_size, self.num_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
-        self.k_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
-        self.v_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
+        qkv_bias = c.attention_bias or c.qkv_bias
+        self.q_proj = nnx.Linear(c.hidden_size, self.num_heads * self.head_dim, use_bias=qkv_bias, param_dtype=c.dtype, rngs=rngs)
+        self.k_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=qkv_bias, param_dtype=c.dtype, rngs=rngs)
+        self.v_proj = nnx.Linear(c.hidden_size, self.num_kv_heads * self.head_dim, use_bias=qkv_bias, param_dtype=c.dtype, rngs=rngs)
         self.o_proj = nnx.Linear(self.num_heads * self.head_dim, c.hidden_size, use_bias=c.attention_bias, param_dtype=c.dtype, rngs=rngs)
 
     def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
@@ -226,11 +231,12 @@ class LlamaAttention(nnx.Module):
 
 
 class LlamaMLP(nnx.Module):
-    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs):
+    def __init__(self, config: LlamaConfig, rngs: nnx.Rngs, intermediate_size: Optional[int] = None):
         c = config
-        self.gate_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
-        self.up_proj = nnx.Linear(c.hidden_size, c.intermediate_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
-        self.down_proj = nnx.Linear(c.intermediate_size, c.hidden_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        inter = intermediate_size or c.intermediate_size
+        self.gate_proj = nnx.Linear(c.hidden_size, inter, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        self.up_proj = nnx.Linear(c.hidden_size, inter, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
+        self.down_proj = nnx.Linear(inter, c.hidden_size, use_bias=c.mlp_bias, param_dtype=c.dtype, rngs=rngs)
         self.hidden_act = c.hidden_act
 
     def __call__(self, x):

@@ -48,12 +48,16 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .mixtral import MixtralConfig, MixtralForCausalLM
 
         return MixtralForCausalLM(MixtralConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "qwen2_moe":
+        from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+        return Qwen2MoeForCausalLM(Qwen2MoeConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "gpt2":
         return GPT2LMHeadModel(GPT2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "opt":
         return OPTForCausalLM(OPTConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, gpt2, opt"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt"
     )
 
 
