@@ -84,8 +84,13 @@ class LlamaConfig:
             rope_theta=get("rope_theta", 10000.0),
             tie_word_embeddings=get("tie_word_embeddings", False),
             attention_bias=get("attention_bias", False),
-            # HF Qwen2 hardcodes qkv bias (its config has no attention_bias).
-            qkv_bias=get("attention_bias", get("model_type") in ("qwen2", "qwen2_moe")),
+            # HF Qwen2 hardcodes qkv bias regardless of any (stray)
+            # attention_bias key in config.json.
+            qkv_bias=(
+                True
+                if get("model_type") in ("qwen2", "qwen2_moe")
+                else get("attention_bias", False)
+            ),
             mlp_bias=get("mlp_bias", False),
             dtype=dtype,
         )

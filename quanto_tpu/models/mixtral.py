@@ -128,10 +128,13 @@ class MixtralForCausalLM(nnx.Module):
         rngs = rngs or nnx.Rngs(0)
         self.config = config
         self.model = MixtralModel(config, rngs)
-        self.lm_head = nnx.Linear(
-            config.hidden_size, config.vocab_size, use_bias=False,
-            param_dtype=config.dtype, rngs=rngs,
-        )
+        if config.tie_word_embeddings:
+            self.lm_head = None
+        else:
+            self.lm_head = nnx.Linear(
+                config.hidden_size, config.vocab_size, use_bias=False,
+                param_dtype=config.dtype, rngs=rngs,
+            )
 
     def init_kv_cache(self, batch: int, max_len: int, dtype=None, kv_quant=None):
         return init_kv_cache(self.config, batch, max_len, dtype, kv_quant)
@@ -163,7 +166,13 @@ class MixtralForCausalLM(nnx.Module):
             if cache is not None:
                 new_cache.append(lc)
         x = self.model.norm(x)
-        logits = self.lm_head(x)
-        if isinstance(logits, QArray):
-            logits = logits.dequantize()
+        if self.lm_head is None:
+            emb = self.model.embed_tokens.embedding.get_value()
+            if isinstance(emb, QArray):
+                emb = emb.dequantize()
+            logits = x @ emb.T.astype(x.dtype)
+        else:
+            logits = self.lm_head(x)
+            if isinstance(logits, QArray):
+                logits = logits.dequantize()
         return logits, (tuple(new_cache) if new_cache is not None else None)

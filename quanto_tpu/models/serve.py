@@ -44,7 +44,14 @@ def make_decode_fn(graphdef, n_tokens: int, sample_fn=None):
     @jax.jit
     def decode(state, tok, cache, pos0, key=None):
         model = nnx.merge(graphdef, state)
-        key0 = key if key is not None else jax.random.PRNGKey(0)
+        # Default key is folded with the start position so repeated calls
+        # (chunked generation) do not replay identical sampling randomness;
+        # pass `key` explicitly for reproducible / properly seeded sampling.
+        key0 = (
+            key
+            if key is not None
+            else jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(pos0).sum())
+        )
 
         def body(carry, _):
             tok, pos, cache, key = carry
@@ -83,7 +90,11 @@ def make_stacked_fns(model, n_tokens: int, sample_fn=None):
 
     @jax.jit
     def decode(state, tok, cache, pos0, key=None):
-        key0 = key if key is not None else jax.random.PRNGKey(0)
+        key0 = (
+            key
+            if key is not None
+            else jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(pos0).sum())
+        )
 
         def body(carry, _):
             tok, pos, cache, key = carry

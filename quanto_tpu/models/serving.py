@@ -58,10 +58,7 @@ class BatchedEngine:
         self.max_len = max_len
         self.eos_token_id = eos_token_id
         self._graphdef, self._state = nnx.split(model)
-        if hasattr(model, "init_kv_cache"):
-            self._cache = model.init_kv_cache(max_batch, max_len)
-        else:
-            self._cache = init_kv_cache(model.config, max_batch, max_len, kv_quant=kv_quant)
+        self._cache = self._make_cache(kv_quant)
         self._pos = np.zeros((max_batch,), np.int32)  # next write position per slot
         self._last_tok = np.zeros((max_batch,), np.int32)
         self._free = list(range(max_batch))
@@ -101,6 +98,13 @@ class BatchedEngine:
         self._scatter_fn = _scatter_slot
         self._step_fn = _step
         self._slot_cache_template = None
+
+    def _make_cache(self, kv_quant):
+        from .llama import init_kv_cache
+
+        if hasattr(self.model, "init_kv_cache"):
+            return self.model.init_kv_cache(self.max_batch, self.max_len)
+        return init_kv_cache(self.model.config, self.max_batch, self.max_len, kv_quant=kv_quant)
 
     # --- request lifecycle ----------------------------------------------------
 
@@ -215,35 +219,36 @@ class PagedEngine(BatchedEngine):
         eos_token_id: Optional[int] = None,
         sample_fn: Optional[Callable] = None,
     ):
-        from ..tensor.paged_kv import init_paged_kv_cache
-
-        # BatchedEngine.__init__ builds the dense cache; call it, then swap
-        # the cache for the paged pool (jit fns are cache-agnostic: kv_update
-        # / kv_read_raw dispatch on the layer type).
+        # Paged attributes must exist before super().__init__ runs the
+        # overridden _make_cache (the dense pool is never materialized —
+        # that preallocation would defeat the paged cache's capacity point).
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.pages_per_slot = (max_len + page_size - 1) // page_size
         super().__init__(
             model, max_batch=max_batch, max_len=max_len, kv_quant=kv_quant,
             eos_token_id=eos_token_id, sample_fn=sample_fn,
         )
-        c = model.config
-        self.page_size = page_size
-        self.n_pages = n_pages
-        self.pages_per_slot = (max_len + page_size - 1) // page_size
-        heads = getattr(c, "num_key_value_heads", None) or getattr(
-            c, "num_attention_heads", None
-        ) or c.n_head
-        head_dim = getattr(c, "head_dim", None) or (
-            getattr(c, "hidden_size", getattr(c, "n_embd", None)) // heads
-            if getattr(c, "num_key_value_heads", None) is None
-            else c.head_dim
-        )
-        self._cache = init_paged_kv_cache(
-            len(self._cache), n_pages, page_size, max_batch,
-            self.pages_per_slot, heads, head_dim,
-            kv_quant=kv_quant, dtype=c.dtype,
-        )
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
         self._free_pages = list(range(1, n_pages))  # page 0 reserved
         self._slot_pages: Dict[int, List[int]] = {}
+
+    def _make_cache(self, kv_quant):
+        from ..tensor.paged_kv import init_paged_kv_cache
+
+        c = self.model.config
+        n_layers = getattr(c, "num_hidden_layers", None) or c.n_layer
+        heads = getattr(c, "num_key_value_heads", None) or getattr(
+            c, "num_attention_heads", None
+        ) or c.n_head
+        hidden = getattr(c, "hidden_size", None) or c.n_embd
+        all_heads = getattr(c, "num_attention_heads", None) or c.n_head
+        head_dim = getattr(c, "head_dim", None) or hidden // all_heads
+        return init_paged_kv_cache(
+            n_layers, self.n_pages, self.page_size, self.max_batch,
+            self.pages_per_slot, heads, head_dim,
+            kv_quant=kv_quant, dtype=c.dtype,
+        )
 
     def _with_table(self, cache, table_rows):
         table = jnp.asarray(table_rows)

@@ -99,6 +99,45 @@ def _synthesize_hf_config(model):
             vocab_size=c.vocab_size, n_positions=c.n_positions, n_embd=c.n_embd,
             n_layer=c.n_layer, n_head=c.n_head, layer_norm_epsilon=c.layer_norm_epsilon,
         )
+    from .mixtral import MixtralForCausalLM
+
+    if isinstance(model, MixtralForCausalLM):
+        from transformers import MixtralConfig as HFMixtralConfig
+
+        return HFMixtralConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            num_local_experts=c.num_local_experts,
+            num_experts_per_tok=c.num_experts_per_tok,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .qwen2_moe import Qwen2MoeForCausalLM
+
+    if isinstance(model, Qwen2MoeForCausalLM):
+        from transformers import Qwen2MoeConfig as HFQwen2MoeConfig
+
+        return HFQwen2MoeConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            moe_intermediate_size=c.moe_intermediate_size,
+            shared_expert_intermediate_size=c.shared_expert_intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            num_experts=c.num_experts,
+            num_experts_per_tok=c.num_experts_per_tok,
+            norm_topk_prob=c.norm_topk_prob,
+            decoder_sparse_step=c.decoder_sparse_step,
+            mlp_only_layers=list(c.mlp_only_layers),
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
     from .opt import OPTForCausalLM
 
     if isinstance(model, OPTForCausalLM):

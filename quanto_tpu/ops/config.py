@@ -27,6 +27,24 @@ def _on_tpu() -> bool:
         return False
 
 
+def _mesh_active() -> bool:
+    """True inside a `with Mesh(...)` context (sharded execution)."""
+    try:
+        from jax.interpreters import pxla
+
+        return not pxla.thread_resources.env.physical_mesh.empty
+    except Exception:
+        return False
+
+
+def _single_device_ok() -> bool:
+    """Pallas kernels have no partitioning rule: allow them on a single
+    device, or on multi-device hosts as long as no Mesh context is active
+    (unsharded arrays run on one device; under a mesh XLA would have to
+    all-gather the kernel operands)."""
+    return jax.device_count() == 1 or not _mesh_active()
+
+
 def set_backend(
     pallas_qbits: bool | None = None,
     pallas_qbytes: bool | None = None,
@@ -43,10 +61,7 @@ def use_pallas_qbits() -> bool:
         return False
     if _STATE["pallas_qbits"] is not None:
         return _STATE["pallas_qbits"]
-    # Auto: single-device only — pallas_call has no partitioning rule, so on
-    # a sharded mesh XLA would all-gather the operands. Sharded execution
-    # uses the XLA dequant path (or force the kernel on under shard_map).
-    return _on_tpu() and jax.device_count() == 1
+    return _on_tpu() and _single_device_ok()
 
 
 def use_pallas_qbytes() -> bool:
@@ -54,7 +69,7 @@ def use_pallas_qbytes() -> bool:
         return False
     if _STATE["pallas_qbytes"] is not None:
         return _STATE["pallas_qbytes"]
-    return _on_tpu() and jax.device_count() == 1
+    return _on_tpu() and _single_device_ok()
 
 
 def use_flash_decode() -> bool:
@@ -70,8 +85,8 @@ def use_flash_decode() -> bool:
         return False
     if _STATE["flash_decode"] is not None:
         return _STATE["flash_decode"]
-    if os.environ.get("QUANTO_TPU_FLASH_DECODE"):
-        return _on_tpu() and jax.device_count() == 1
+    if os.environ.get("QUANTO_TPU_FLASH_DECODE", "").lower() in ("1", "true", "yes", "on"):
+        return _on_tpu() and _single_device_ok()
     return False
 
 

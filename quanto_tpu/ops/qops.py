@@ -73,19 +73,18 @@ def qreshape(x, shape):
 def qcat(xs: Sequence, axis: int = 0):
     """Concatenate; stays quantized only when all inputs share scale & qtype
     (reference `qbytes_ops.py:93-104`)."""
-    if all(isinstance(x, ActivationQBytesArray) for x in xs) and len(xs) > 0:
-        first = xs[0]
-        same = all(
-            x.qtype == first.qtype and x._scale.shape == first._scale.shape for x in xs[1:]
-        )
-        if same:
-            scales_equal = all(bool(jnp.all(x._scale == first._scale)) for x in xs[1:])
-            if scales_equal:
-                return _rewrap(first, jnp.concatenate([x._data for x in xs], axis=axis))
+    xs = list(xs)
+    if _same_quantization(xs):
+        return _rewrap(xs[0], jnp.concatenate([x._data for x in xs], axis=axis))
     return jnp.concatenate([dequantize(x) for x in xs], axis=axis)
 
 
 def _same_quantization(xs: Sequence) -> bool:
+    """True when all inputs share qtype and (concretely) equal scales.
+
+    Under jit the scales are tracers whose values are unknown at trace time;
+    we conservatively answer False there (the dequantize path is always
+    correct), instead of raising a trace-time concretization error."""
     if not xs or not all(isinstance(x, ActivationQBytesArray) for x in xs):
         return False
     first = xs[0]
@@ -93,6 +92,8 @@ def _same_quantization(xs: Sequence) -> bool:
         x.qtype == first.qtype and x._scale.shape == first._scale.shape for x in xs[1:]
     ):
         return False
+    if any(isinstance(x._scale, jax.core.Tracer) for x in xs):
+        return len(xs) == 1 or all(x._scale is first._scale for x in xs[1:])
     return all(bool(jnp.all(x._scale == first._scale)) for x in xs[1:])
 
 

@@ -73,3 +73,27 @@ def test_mixtral_quantize_experts_int8(torch_and_nnx):
     assert "model.layers.0.block_sparse_moe.gate" not in qmap
     out, _ = model(ids)
     assert_similar(out, ref, rtol=5e-2)
+
+
+def test_mixtral_tied_embeddings_and_config_roundtrip(tmp_path):
+    """tie_word_embeddings is honored, and save_pretrained of a natively
+    built MoE model synthesizes a loadable config.json."""
+    from quanto_tpu.models import QuantizedModelForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=2, num_experts_per_tok=1,
+        max_position_embeddings=32, tie_word_embeddings=True, dtype=jnp.float32,
+    )
+    model = MixtralForCausalLM(cfg)
+    assert model.lm_head is None
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 64, (1, 4)), jnp.int32)
+    qmodel = QuantizedModelForCausalLM.quantize(model, weights="qint8", exclude="*gate")
+    ref, _ = qmodel(ids)
+    qmodel.save_pretrained(str(tmp_path))
+    import os
+    assert os.path.exists(tmp_path / "config.json")
+    reloaded = QuantizedModelForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    out, _ = reloaded(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -142,3 +142,39 @@ def test_qwhere_mixed_dequantizes():
     cond = jnp.asarray(np.random.RandomState(1).rand(4, 8) > 0.5)
     out = qops.qwhere(cond, a, b)
     assert not isinstance(out, qt.ActivationQBytesArray)
+
+
+def test_qops_safe_under_jit():
+    """qstack/qwhere/qcat must not concretize tracer scales under jit
+    (conservative dequantize path when scale equality is unknowable)."""
+    a = random_qactivation((4, 8), qt.qint8)
+    b = random_qactivation((4, 8), qt.qint8)
+
+    @jax.jit
+    def f(a, b):
+        s = qops.qstack([a, b])
+        c = qops.qcat([a, b], axis=0)
+        w = qops.qwhere(jnp.ones((4, 8), bool), a, b)
+        return (qops.dequantize(s), qops.dequantize(c), qops.dequantize(w))
+
+    s, c, w = f(a, b)
+    np.testing.assert_allclose(
+        np.asarray(s),
+        np.stack([np.asarray(a.dequantize()), np.asarray(b.dequantize())]),
+        rtol=1e-6,
+    )
+    assert c.shape == (8, 8) and w.shape == (4, 8)
+
+
+def test_qstack_same_array_stays_quantized_under_jit():
+    """Identical scale OBJECT (same tracer) is provably equal even in jit."""
+    a = random_qactivation((4, 8), qt.qint8)
+
+    @jax.jit
+    def f(a):
+        b = qops._rewrap(a, a._data + 1)  # shares a._scale
+        out = qops.qstack([a, b])
+        assert isinstance(out, qt.ActivationQBytesArray)
+        return out.dequantize()
+
+    assert f(a).shape == (2, 4, 8)
