@@ -42,6 +42,16 @@ class _Request:
 
 
 class BatchedEngine:
+    """Slot-based continuous batching.
+
+    `mesh`: optional `jax.sharding.Mesh` for tensor-parallel serving — the
+    MODEL must already be sharded (`parallel.shard_model`); the engine then
+    shards the pooled KV cache over the mesh's "tp" axis (kv heads) and runs
+    every jitted program inside the mesh context, which is the north-star
+    serving topology (sharded quantized weights + sharded quantized cache +
+    continuous batching; XLA inserts the ICI collectives).
+    """
+
     def __init__(
         self,
         model,
@@ -50,6 +60,7 @@ class BatchedEngine:
         kv_quant=None,
         eos_token_id: Optional[int] = None,
         sample_fn: Optional[Callable] = None,
+        mesh=None,
     ):
         from .llama import init_kv_cache
 
@@ -57,8 +68,11 @@ class BatchedEngine:
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos_token_id = eos_token_id
+        self._mesh = mesh
         self._graphdef, self._state = nnx.split(model)
         self._cache = self._make_cache(kv_quant)
+        if mesh is not None:
+            self._cache = self._shard_cache(self._cache, mesh)
         self._pos = np.zeros((max_batch,), np.int32)  # next write position per slot
         self._last_tok = np.zeros((max_batch,), np.int32)
         self._free = list(range(max_batch))
@@ -106,6 +120,24 @@ class BatchedEngine:
             return self.model.init_kv_cache(self.max_batch, self.max_len)
         return init_kv_cache(self.model.config, self.max_batch, self.max_len, kv_quant=kv_quant)
 
+    def _shard_cache(self, cache, mesh):
+        """Pooled dense cache [B, S, H, D]: shard kv heads over "tp"; batch
+        stays replicated (slots are scattered/gathered by the host loop).
+        Per-slot scale tensors [B, S, H, 1] shard congruently."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(a):
+            spec = P(None, None, "tp", None) if a.ndim == 4 and a.shape[2] > 1 else P()
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(put, cache)
+
+    def _run(self, fn, *args):
+        if self._mesh is None:
+            return fn(*args)
+        with self._mesh:
+            return fn(*args)
+
     # --- request lifecycle ----------------------------------------------------
 
     def can_add(self) -> bool:
@@ -133,10 +165,10 @@ class BatchedEngine:
                 kv_quant = qtypes[self._cache[0].qtype_name]
             slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
         ids = jnp.asarray(prompt[None, :])
-        last_logits, slot_cache = self._prefill_fn(self._state, ids, slot_cache)
+        last_logits, slot_cache = self._run(self._prefill_fn, self._state, ids, slot_cache)
         self._key, sub = jax.random.split(self._key)
         first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
-        self._cache = self._scatter_fn(self._cache, slot_cache, slot)
+        self._cache = self._run(self._scatter_fn, self._cache, slot_cache, slot)
         self._pos[slot] = len(prompt)
         self._last_tok[slot] = first_tok
         rid = self._next_rid
@@ -168,7 +200,7 @@ class BatchedEngine:
         toks = jnp.asarray(self._last_tok[:, None])
         pos = jnp.asarray(self._pos)
         self._key, sub = jax.random.split(self._key)
-        nxt, self._cache = self._step_fn(self._state, toks, self._cache, pos, sub)
+        nxt, self._cache = self._run(self._step_fn, self._state, toks, self._cache, pos, sub)
         nxt = np.asarray(jax.device_get(nxt))
         out: Dict[int, int] = {}
         for slot, req in list(self._by_slot.items()):
@@ -277,7 +309,7 @@ class PagedEngine(BatchedEngine):
         # shared pages in place.
         cache_view = self._with_table(self._cache, self._table[slot : slot + 1])
         ids = jnp.asarray(prompt[None, :])
-        last_logits, cache_view = self._prefill_fn(self._state, ids, cache_view)
+        last_logits, cache_view = self._run(self._prefill_fn, self._state, ids, cache_view)
         self._cache = self._with_table(cache_view, self._table)
         self._key, sub = jax.random.split(self._key)
         first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))

@@ -252,3 +252,47 @@ def test_mixtral_tp_rules():
     with mesh:
         out = fwd(state, ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_tp_sharded_continuous_batching_int4_int8cache():
+    """North-star serving topology (BASELINE.json config 5): int4
+    tensor-sharded weights + int8 KV cache sharded over kv heads +
+    continuous batching — engine results match the unsharded engine."""
+    from quanto_tpu.models.serving import BatchedEngine
+    from quanto_tpu.ops import config as ops_config
+
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(model)  # TPU kernel layout (shardable split-half payloads)
+    finally:
+        ops_config.set_backend()
+
+    prompts = [[1, 5, 17], [9, 2, 44, 7]]
+    ref_engine = BatchedEngine(model, max_batch=2, max_len=32, kv_quant="qint8")
+    ref = {}
+    for p in prompts:
+        ref[ref_engine.add(p, max_new_tokens=6)] = p
+    ref_engine.run_to_completion()
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    engine = BatchedEngine(model, max_batch=2, max_len=32, kv_quant="qint8", mesh=mesh)
+    from quanto_tpu.tensor.kv_cache import QKVCacheLayer
+    from jax.sharding import PartitionSpec as P2
+
+    assert isinstance(engine._cache[0], QKVCacheLayer)
+    assert engine._cache[0]._k_data.sharding.spec == P2(None, None, "tp", None)
+    assert engine._cache[0]._k_scale.sharding.spec == P2(None, None, "tp", None)
+    out = {}
+    for p in prompts:
+        out[engine.add(p, max_new_tokens=6)] = p
+    engine.run_to_completion()
+    for rid in out:
+        assert engine.result(rid) == ref_engine.result(rid), rid
