@@ -43,7 +43,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-__all__ = ["qbits_matmul_kernel_call", "pack_split_half", "unpack_split_half"]
+__all__ = [
+    "qbits_matmul_kernel_call",
+    "qbits_int8_matmul_kernel_call",
+    "pack_split_half",
+    "unpack_split_half",
+]
 
 _CHUNK = 128  # lanes per unpacked MXU contraction
 
@@ -102,6 +107,120 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
             xsum = jnp.sum(xg, axis=1, keepdims=True)
             y += pd * s_ref[g : g + 1, :] - xsum * z_ref[g : g + 1, :]
     out_ref[:] = y
+
+
+def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
+    """W4A8: int8 activations x int4 codes on the integer MXU.
+
+    Same group-factored algebra as `_kernel` but the per-chunk product runs
+    as int8 x int8 -> int32 (2x the bf16 MXU rate, and no f32 casts of the
+    codes — the VPU only touches the [M, BN] output tile):
+
+        y = sx * [ sum_g s_g (xq_g @ c_g^T) - z_g * (sum_k xq_gk) ]
+    """
+    M = x_ref.shape[0]
+    BN = p_ref.shape[0]
+    Kpacked = p_ref.shape[1]
+    vals = 8 // bits
+    mask = 2**bits - 1
+    nchunks = Kpacked // _CHUNK
+    K = Kpacked * vals
+
+    y = jnp.zeros((M, BN), jnp.float32)
+    for part in range(vals):
+        for c in range(nchunks):
+            b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
+            raw = (b32 >> (bits * part)) & mask if part else b32 & mask
+            codes = raw.astype(jnp.int8)  # 0..15 fits int8 exactly
+            k0 = part * (K // vals) + c * _CHUNK
+            g = k0 // group_size
+            xg = x_ref[:, k0 : k0 + _CHUNK]  # int8
+            pd = jax.lax.dot_general(
+                xg, codes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+            y += pd.astype(jnp.float32) * s_ref[g : g + 1, :] - xsum.astype(
+                jnp.float32
+            ) * z_ref[g : g + 1, :]
+    out_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "interpret"))
+def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
+    M, K = x.shape
+    N, Kpacked = packed.shape
+    G = scale_t.shape[0]
+    bn = _pick_bn(N, Kpacked, M, x.dtype.itemsize)
+    kernel = functools.partial(_int8_kernel, bits=bits, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // bn,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kpacked), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * Kpacked + M * K + M * N * 4 + 2 * N * G * 4,
+            transcendentals=0,
+        ),
+    )(x, packed, scale_t, shift_t)
+
+
+def qbits_int8_matmul_kernel_call(
+    x_data: jnp.ndarray,
+    x_scale,
+    packed: jnp.ndarray,
+    scale_t: jnp.ndarray,
+    shift_t: jnp.ndarray,
+    bits: int,
+    group_size: Optional[int],
+    float_dtype,
+    *,
+    interpret: bool = False,
+) -> Optional[jnp.ndarray]:
+    """W4A8 fused matmul: int8 activation payload (per-tensor scale `x_scale`)
+    against split-half packed sub-byte weights. Returns the FLOAT output
+    (same semantics as dequantizing both operands), or None when outside the
+    kernel envelope."""
+    if packed.ndim != 2 or bits not in (2, 4):
+        return None
+    if x_data.dtype != jnp.int8:
+        return None
+    N, Kpacked = packed.shape
+    vals = 8 // bits
+    K = Kpacked * vals
+    if x_data.shape[-1] != K or N % 128 != 0 or Kpacked % _CHUNK != 0:
+        return None
+    gs = group_size if group_size is not None else K
+    if gs != K and (gs % _CHUNK != 0 or (K // vals) % gs != 0):
+        return None
+    lead = x_data.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if M > _MAX_M:
+        return None
+    x2 = x_data.reshape(M, K)
+    m_pad = -M % 8
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    out = _int8_call(
+        x2, packed,
+        scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
+        bits=bits, group_size=gs, interpret=interpret,
+    )
+    if m_pad:
+        out = out[:M]
+    out = out * jnp.asarray(x_scale, jnp.float32).reshape(())
+    return out.reshape(*lead, N).astype(float_dtype)
 
 
 # The kernel keeps the whole x [M, K] in VMEM: it is a DECODE kernel. Larger

@@ -81,8 +81,27 @@ def qlinear(
             output = qbytes_mm(x, w.data, w.scale)
     elif isinstance(w, (WeightQBitsArray, WeightQBitsTpuArray)):
         if isinstance(x, ActivationQBytesArray):
-            # No int-mm path for sub-byte weights: dequantize the activations
-            # (the reference behaves identically through qfallback).
+            # W4A8: int8 activations x int4 codes fused on the integer MXU
+            # (beyond the reference, which routes this combo through the
+            # dequantizing qfallback). Same float output semantics.
+            if (
+                isinstance(w, WeightQBitsTpuArray)
+                and x.qtype.name == "qint8"
+                and config.use_pallas_qbits()
+            ):
+                from ..tensor.activations import mark_quantized_use
+                from .pallas.qbits_mm import qbits_int8_matmul_kernel_call
+
+                out = qbits_int8_matmul_kernel_call(
+                    x.data, x.scale, w._packed, w._scale_t, w._shift_t,
+                    w.qtype.bits, w.group_size, w.float_dtype,
+                    interpret=config.pallas_interpret(),
+                )
+                if out is not None:
+                    mark_quantized_use(x)
+                    if bias is not None:
+                        out = out + bias
+                    return out
             x = x.dequantize()
         output = _qbits_mm(x, w)
     else:

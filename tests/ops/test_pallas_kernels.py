@@ -103,3 +103,55 @@ def test_qlinear_module_uses_tpu_layout_after_freeze():
     assert isinstance(qlin2.weight.get_value(), WeightQBitsTpuArray)
     reloaded = qlin2(x)
     np.testing.assert_allclose(np.asarray(reloaded), np.asarray(frozen), rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_kernel_matches_dequant_reference():
+    """int8-activation x int4-weight fused kernel vs dequantize-both-matmul."""
+    from quanto_tpu.ops.pallas.qbits_mm import qbits_int8_matmul_kernel_call
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray, quantize_weight
+    from quanto_tpu.tensor.activations import quantize_activation
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 256), jnp.float32)
+    x = jnp.asarray(rng.randn(8, 256), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128).optimize()
+    assert isinstance(qw, WeightQBitsTpuArray)
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+
+    out = qbits_int8_matmul_kernel_call(
+        qx.data, qx.scale, qw._packed, qw._scale_t, qw._shift_t,
+        4, 128, jnp.float32, interpret=True,
+    )
+    assert out is not None
+    ref = qx.dequantize() @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_w4a8_qlinear_dispatch(monkeypatch):
+    """qlinear routes int8 activations x TPU-layout int4 weights through the
+    fused kernel (float output, same semantics as the dequant fallback)."""
+    from quanto_tpu.ops import config as ops_config
+    from quanto_tpu.ops.qlinear import qlinear
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import quantize_weight
+    from quanto_tpu.tensor.activations import quantize_activation
+
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(128, 256), jnp.float32)
+    x = jnp.asarray(rng.randn(4, 256), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128).optimize()
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+    bias = jnp.asarray(rng.randn(128), jnp.float32)
+
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        out = qlinear(qx, qw, bias)
+    finally:
+        ops_config.set_backend()
+    ref = qx.dequantize() @ qw.dequantize().T + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
