@@ -83,19 +83,42 @@ def main():
     def pallas_i8_mm(x, w, s):
         return qbytes_matmul_kernel_call(x, w, s)
 
+    # int4 g128 split-half packed weights (W4A16 + W4A8 kernels).
+    from quanto_tpu.ops.pallas.qbits_mm import (
+        pack_split_half,
+        qbits_int8_matmul_kernel_call,
+        qbits_matmul_kernel_call,
+    )
+
+    gs = 128
+    G = K // gs
+    codes = jax.random.randint(key, (N, K), 0, 16, jnp.uint8)
+    packed = pack_split_half(codes, bits=4)
+    scale_t = (jnp.abs(jax.random.normal(key, (G, N))) / 15.0).astype(jnp.float32)
+    shift_t = (scale_t * 8.0).astype(jnp.float32)
+
+    def pallas_i4_mm(x, p, s, z):
+        return qbits_matmul_kernel_call(x, p, s, z, 4, gs)
+
+    def pallas_w4a8_mm(x, p, s, z):
+        return qbits_int8_matmul_kernel_call(x, jnp.float32(0.01), p, s, z, 4, gs, jnp.bfloat16)
+
     variants = {
         "bf16xbf16": (bf16_mm, x, (w_bf16,)),
         "int8 w, weight-scale": (i8_weight_scale_mm, x, (w_i8, scale)),
         "int8 w, output-scale": (i8_output_scale_mm, x, (w_i8, scale)),
         "int8 x int8 (MXU int)": (i8_i8_mm, x_i8, (w_i8, scale)),
         "int8 w, pallas fused": (pallas_i8_mm, x, (w_i8, scale)),
+        "int4 w, pallas W4A16": (pallas_i4_mm, x, (packed, scale_t, shift_t)),
+        "int4 w, pallas W4A8": (pallas_w4a8_mm, x_i8, (packed, scale_t, shift_t)),
     }
 
     print(f"M={M} K={K} N={N} ({2*M*K*N/1e9:.2f} GFLOP, w_bf16={2*K*N/1e9:.3f} GB, w_i8={K*N/1e9:.3f} GB)")
     for name, (fn, xv, a) in variants.items():
         sec = timed_scan(fn, xv, a, iters=args.iters)
         flops = 2 * M * K * N / sec / 1e12
-        wbytes = (K * N * (2 if "bf16x" in name else 1)) / sec / 1e9
+        wbpe = 2 if "bf16x" in name else (0.5 if "int4" in name else 1)
+        wbytes = K * N * wbpe / sec / 1e9
         print(f"{name:26s}: {sec*1e6:8.1f} us  {flops:6.2f} TFLOP/s  weight-read {wbytes:7.1f} GB/s")
 
 

@@ -4,9 +4,13 @@ from .mixtral import MixtralConfig, MixtralForCausalLM
 from .opt import OPTConfig, OPTForCausalLM
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
+from .flux import FluxConfig, FluxTransformer2DModel
+from .sd3 import SD3Config, SD3Transformer2DModel
 from .diffusers_models import (
     QuantizedDiffusersModel,
+    QuantizedFluxTransformer2DModel,
     QuantizedPixArtTransformer2DModel,
+    QuantizedSD3Transformer2DModel,
 )
 from .loading import hf_state_dict, load_hf_state_dict
 from .transformers_models import (

@@ -25,11 +25,18 @@ from ..quantize import (
 )
 from ..utils.safetensors_io import load_file, save_file
 from .loading import hf_state_dict, load_hf_state_dict
+from .flux import FluxConfig, FluxTransformer2DModel
 from .pixart import PixArtConfig, PixArtTransformer2DModel
+from .sd3 import SD3Config, SD3Transformer2DModel
 from .transformers_models import QMAP_NAME
 
 
-__all__ = ["QuantizedDiffusersModel", "QuantizedPixArtTransformer2DModel"]
+__all__ = [
+    "QuantizedDiffusersModel",
+    "QuantizedPixArtTransformer2DModel",
+    "QuantizedFluxTransformer2DModel",
+    "QuantizedSD3Transformer2DModel",
+]
 
 
 class QuantizedDiffusersModel:
@@ -97,8 +104,10 @@ class QuantizedDiffusersModel:
     def save_pretrained(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         config = getattr(self._wrapped, "_hf_config", None)
-        if config is None:
+        if config is None and hasattr(self._wrapped.config, "to_hf"):
             # Synthesize a diffusers-style config from the model dataclass.
+            config = {"_class_name": self.class_name, **self._wrapped.config.to_hf()}
+        elif config is None:
             c = self._wrapped.config
             config = {
                 "_class_name": self.class_name,
@@ -126,3 +135,21 @@ class QuantizedPixArtTransformer2DModel(QuantizedDiffusersModel):
     base_class = PixArtTransformer2DModel
     config_class = PixArtConfig
     class_name = "PixArtTransformer2DModel"
+
+
+class QuantizedFluxTransformer2DModel(QuantizedDiffusersModel):
+    """Flux double/single-stream MMDiT (the diffusers model quanto is most
+    commonly applied to; same wrapper contract as the reference's
+    `QuantizedDiffusersModel`, `diffusers_models.py:44-157`)."""
+
+    base_class = FluxTransformer2DModel
+    config_class = FluxConfig
+    class_name = "FluxTransformer2DModel"
+
+
+class QuantizedSD3Transformer2DModel(QuantizedDiffusersModel):
+    """Stable Diffusion 3 joint-attention MMDiT."""
+
+    base_class = SD3Transformer2DModel
+    config_class = SD3Config
+    class_name = "SD3Transformer2DModel"
