@@ -93,6 +93,15 @@ class BatchedEngine:
             return logits[:, -1], slot_cache
 
         @jax.jit
+        def _prefill_at(state, ids, slot_cache, pos):
+            # Prefill starting at cache offset `pos` (prefix-sharing path:
+            # positions < pos are already present in the cache and the
+            # model's mask lets queries attend to them).
+            m = nnx.merge(graphdef, state)
+            logits, slot_cache = m(ids, slot_cache, pos)
+            return logits[:, -1], slot_cache
+
+        @jax.jit
         def _scatter_slot(cache, slot_cache, slot):
             def put(big, small):
                 return jax.lax.dynamic_update_slice(
@@ -109,6 +118,7 @@ class BatchedEngine:
             return nxt.astype(jnp.int32), cache
 
         self._prefill_fn = _prefill
+        self._prefill_at_fn = _prefill_at
         self._scatter_fn = _scatter_slot
         self._step_fn = _step
         self._slot_cache_template = None
@@ -238,6 +248,18 @@ class PagedEngine(BatchedEngine):
 
     Prefill writes straight through the request's page-table row (no
     post-prefill scatter copy — the row slice IS the slot's cache view).
+
+    Prefix sharing (`prefix_sharing=True`): pages that hold a fully-prompt-
+    covered token block are registered in a prefix cache keyed by the exact
+    token prefix. A later request whose prompt starts with the same blocks
+    maps those pages into its table row instead of recomputing them, and only
+    the un-shared suffix is prefilled (at cache offset `shared_len` — the
+    causal mask already lets suffix queries attend to the shared pages).
+    Shared pages are immutable by construction: prefill writes start at
+    `shared_len` and decode writes at `prompt_len`, both past every shared
+    page. Registered pages are refcounted by active users and stay resident
+    after release; when the pool runs dry, zero-ref prefix pages are evicted
+    LRU-first back to the free list.
     """
 
     def __init__(
@@ -250,6 +272,7 @@ class PagedEngine(BatchedEngine):
         kv_quant=None,
         eos_token_id: Optional[int] = None,
         sample_fn: Optional[Callable] = None,
+        prefix_sharing: bool = True,
     ):
         # Paged attributes must exist before super().__init__ runs the
         # overridden _make_cache (the dense pool is never materialized —
@@ -264,6 +287,13 @@ class PagedEngine(BatchedEngine):
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
         self._free_pages = list(range(1, n_pages))  # page 0 reserved
         self._slot_pages: Dict[int, List[int]] = {}
+        self.prefix_sharing = prefix_sharing
+        self._prefix_pages: Dict[bytes, int] = {}  # token-prefix key → page id
+        self._page_key: Dict[int, bytes] = {}  # page id → its prefix key
+        self._page_refs: Dict[int, int] = {}  # prefix page → active users
+        self._prefix_lru: List[bytes] = []  # oldest first
+        self.prefix_hits = 0  # shared pages reused (stats)
+        self.prefix_tokens_saved = 0  # prompt tokens not recomputed
 
     def _make_cache(self, kv_quant):
         from ..tensor.paged_kv import init_paged_kv_cache
@@ -289,6 +319,29 @@ class PagedEngine(BatchedEngine):
             for layer in cache
         )
 
+    def _prefix_key(self, prompt: np.ndarray, n_pages: int) -> bytes:
+        """Exact-match key for the first `n_pages` full token blocks."""
+        return prompt[: n_pages * self.page_size].tobytes()
+
+    def _lru_touch(self, key: bytes) -> None:
+        if key in self._prefix_lru:
+            self._prefix_lru.remove(key)
+        self._prefix_lru.append(key)
+
+    def _evict_prefix_pages(self, n_needed: int) -> None:
+        """Evict zero-ref prefix pages (oldest first) until `n_needed` pages
+        are free."""
+        for key in list(self._prefix_lru):
+            if len(self._free_pages) >= n_needed:
+                return
+            page = self._prefix_pages[key]
+            if self._page_refs.get(page, 0) == 0:
+                del self._prefix_pages[key]
+                del self._page_key[page]
+                self._page_refs.pop(page, None)
+                self._prefix_lru.remove(key)
+                self._free_pages.append(page)
+
     def add(self, prompt_ids, max_new_tokens: int = 64) -> int:
         if not self._free:
             raise RuntimeError("no free slots (call step() until one finishes)")
@@ -296,21 +349,63 @@ class PagedEngine(BatchedEngine):
         total = len(prompt) + max_new_tokens
         if total > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
-        n_needed = (total + self.page_size - 1) // self.page_size
-        if n_needed > len(self._free_pages):
+        ps = self.page_size
+        n_total = (total + ps - 1) // ps
+
+        # 1. Longest chain of already-cached full prompt pages (keep at least
+        # one prompt token un-shared so prefill still emits last-token logits).
+        shared: List[int] = []
+        if self.prefix_sharing:
+            max_shareable = (len(prompt) - 1) // ps
+            for i in range(max_shareable):
+                page = self._prefix_pages.get(self._prefix_key(prompt, i + 1))
+                if page is None:
+                    break
+                shared.append(page)
+        shared_len = len(shared) * ps
+
+        # 2. Allocate the rest, evicting cold prefix pages if needed.
+        n_new = n_total - len(shared)
+        if n_new > len(self._free_pages):
+            self._evict_prefix_pages(n_new)
+        if n_new > len(self._free_pages):
             raise RuntimeError("page pool exhausted")
         slot = self._free.pop()
-        pages = [self._free_pages.pop() for _ in range(n_needed)]
+        pages = shared + [self._free_pages.pop() for _ in range(n_new)]
+        for i, page in enumerate(shared):
+            self._page_refs[page] = self._page_refs.get(page, 0) + 1
+            self._lru_touch(self._prefix_key(prompt, i + 1))
+        if shared:
+            self.prefix_hits += len(shared)
+            self.prefix_tokens_saved += shared_len
         self._slot_pages[slot] = pages
         self._table[slot] = 0
         self._table[slot, : len(pages)] = pages
 
-        # Prefill through the slot's table row: the sliced view writes the
-        # shared pages in place.
+        # 3. Prefill the un-shared suffix through the slot's table row (the
+        # sliced view writes the shared pool pages in place).
         cache_view = self._with_table(self._cache, self._table[slot : slot + 1])
-        ids = jnp.asarray(prompt[None, :])
-        last_logits, cache_view = self._run(self._prefill_fn, self._state, ids, cache_view)
+        ids = jnp.asarray(prompt[None, shared_len:])
+        if shared_len:
+            last_logits, cache_view = self._run(
+                self._prefill_at_fn, self._state, ids, cache_view, jnp.int32(shared_len)
+            )
+        else:
+            last_logits, cache_view = self._run(self._prefill_fn, self._state, ids, cache_view)
         self._cache = self._with_table(cache_view, self._table)
+
+        # 4. Register this prompt's new fully-covered pages for future reuse.
+        if self.prefix_sharing:
+            for i in range(len(shared), len(prompt) // ps):
+                key = self._prefix_key(prompt, i + 1)
+                if key in self._prefix_pages:
+                    continue  # concurrent duplicate: keep the existing entry
+                page = pages[i]
+                self._prefix_pages[key] = page
+                self._page_key[page] = key
+                self._page_refs[page] = self._page_refs.get(page, 0) + 1
+                self._lru_touch(key)
+
         self._key, sub = jax.random.split(self._key)
         first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
         self._pos[slot] = len(prompt)
@@ -327,8 +422,14 @@ class PagedEngine(BatchedEngine):
         was_done = req.done
         super()._maybe_finish(req, tok)
         if req.done and not was_done:
-            # Release the slot's pages back to the pool.
+            # Release the slot's pages: prefix-registered pages stay resident
+            # (refcount drops; eviction reclaims them under pressure), the
+            # rest return to the free pool.
             pages = self._slot_pages.pop(req.slot, [])
-            self._free_pages.extend(pages)
+            for page in pages:
+                if page in self._page_key:
+                    self._page_refs[page] = max(0, self._page_refs.get(page, 1) - 1)
+                else:
+                    self._free_pages.append(page)
             self._table[req.slot] = 0
             self._cache = self._with_table(self._cache, self._table)

@@ -89,3 +89,47 @@ def test_paged_engine_pool_exhaustion():
     engine.add([1, 2, 3], max_new_tokens=10)  # needs 2 pages
     with pytest.raises(RuntimeError, match="page pool exhausted"):
         engine.add([4, 5, 6], max_new_tokens=10)
+
+
+def test_paged_engine_prefix_sharing_exact():
+    """Requests sharing a prompt prefix reuse its KV pages and generate the
+    same tokens as an engine with sharing disabled."""
+    model = _tiny()
+    base = [7, 1, 9, 2, 8, 3, 6, 4]  # two full pages at page_size=4
+    prompts = [base + [11], base + [12, 13], base[:4] + [20, 21]]
+
+    ref = PagedEngine(model, max_batch=4, max_len=32, n_pages=24, page_size=4,
+                      prefix_sharing=False)
+    shared = PagedEngine(model, max_batch=4, max_len=32, n_pages=24, page_size=4)
+    results = []
+    for eng in (ref, shared):
+        rids = [eng.add(p, max_new_tokens=5) for p in prompts]
+        eng.run_to_completion()
+        results.append([eng.result(r) for r in rids])
+    assert results[0] == results[1]
+    assert ref.prefix_hits == 0
+    # Request 2 reuses both base pages, request 3 reuses the first.
+    assert shared.prefix_hits == 3
+    assert shared.prefix_tokens_saved == 12
+
+
+def test_paged_engine_prefix_pages_resident_and_evictable():
+    """Prefix pages stay resident after release (serving a later identical
+    prompt), and are evicted under pool pressure."""
+    model = _tiny()
+    base = [5, 6, 7, 8]
+    engine = PagedEngine(model, max_batch=2, max_len=16, n_pages=5, page_size=4)
+    rid = engine.add(base + [1], max_new_tokens=2)
+    engine.run_to_completion()
+    # The base page is registered and kept out of the free pool.
+    assert len(engine._prefix_pages) == 1
+    rid2 = engine.add(base + [2], max_new_tokens=2)
+    engine.run_to_completion()
+    assert engine.prefix_hits == 1
+    # Pool pressure: rid3 needs all 4 usable pages, so the zero-ref base
+    # prefix page must be evicted rather than erroring out.
+    rid3 = engine.add([9] * 9, max_new_tokens=7)
+    engine.run_to_completion()
+    assert engine.is_done(rid3)
+    base_key = np.asarray(base, np.int32).tobytes()
+    assert base_key not in engine._prefix_pages
