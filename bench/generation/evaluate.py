@@ -28,6 +28,7 @@ CONFIGS = [
     ("W4A16", "qint4", None),
     ("Wf8A16", "qfloat8_e4m3fn", None),
     ("W8A8", "qint8", "qint8"),
+    ("W4A8", "qint4", "qint8"),  # fused int8-MXU Pallas kernel path
     ("Wf8Af8", "qfloat8_e4m3fn", "qfloat8_e4m3fn"),
 ]
 

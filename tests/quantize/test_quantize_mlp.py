@@ -156,3 +156,26 @@ def test_calibrate_jit_matches_eager():
     qt.freeze(jitted)
     out = jitted(batches[0])
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantize_mlp_w4a8_kernel_path():
+    """W4A8 (int4 weights + int8 activations) routes through the fused
+    integer-MXU Pallas kernel (interpret mode off-TPU) and stays close to
+    both the float reference and the dequantizing fallback path."""
+    from quanto_tpu.ops import config as ops_config
+
+    model = _fresh_mlp()
+    x = random_tensor((8, 32), key=jax.random.PRNGKey(5))
+    ref = model(x)
+    qt.quantize(model, weights="qint4", activations="qint8")
+    with qt.Calibration(model):
+        model(x)
+    qt.freeze(model)
+    fallback = model(x)  # pallas off by default on CPU
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        out = model(x)
+    finally:
+        ops_config.set_backend()
+    assert_similar(out, ref, rtol=5e-2)
+    assert_similar(out, fallback, rtol=1e-2)
