@@ -1,4 +1,5 @@
 from .distributed import global_mesh, initialize
+from .moe import EPSparseMoeBlock, convert_moe_to_ep
 from .sharding import (
     GPT2_TP_RULES,
     MIXTRAL_TP_RULES,

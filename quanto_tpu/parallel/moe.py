@@ -1,0 +1,291 @@
+"""Expert-parallel MoE execution over an ``"ep"`` mesh axis.
+
+The torch reference has no parallelism of any kind (SURVEY.md §2.10); its
+MoE models run every expert on the one device. Our dense-mask MoE blocks
+(`models/mixtral.py`, `models/qwen2_moe.py`) are the jit-friendly
+single-chip formulation, but they spend E× FLOPs and hold all E experts'
+weights on every device. This module is the scale-out story, built the TPU
+way:
+
+- expert weights (float, frozen int8 `WeightQBytesArray`, or frozen sub-byte
+  `WeightQBitsTpuArray`) are STACKED along a leading expert axis and sharded
+  ``P("ep", ...)`` over the mesh — each device holds E/ep experts, so
+  per-device weight memory and FLOPs drop by the ep factor;
+- routing (the tiny gate matmul + top-k) runs replicated;
+- dispatch runs under `jax.shard_map`: each shard gathers, for each of its
+  local experts, the top-`capacity` tokens by routing weight (a static-shape
+  `lax.top_k` + `take` — no dynamic shapes, XLA-friendly), applies the expert
+  MLP through the normal quantized-op stack (`ops.qlinear`, so the Pallas
+  sub-byte kernels are used on TPU), scatter-adds the weighted results, and a
+  `psum` over "ep" combines shards.
+
+Tokens routed to an expert beyond its capacity are dropped (the standard
+capacity-factor semantics); with ``capacity_factor=None`` capacity equals the
+token count and the result matches the dense-mask block exactly.
+
+This is a deployment transform: `convert_moe_to_ep(model, mesh)` swaps the
+dense blocks in place after loading/quantizing/freezing. Serialization stays
+in the dense per-expert layout (the same "canonical layout on disk, optimized
+layout in memory" rule the reference uses for its kernel-specific tensors,
+`optimum/quanto/tensor/weights/qbytes.py:211-223`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..tensor.qarray import QArray
+from ..tensor.weights import WeightQBitsTpuArray, WeightQBytesArray
+
+
+__all__ = ["EPSparseMoeBlock", "convert_moe_to_ep"]
+
+
+def _maybe_deq(x):
+    return x.dequantize() if isinstance(x, QArray) else x
+
+
+def _expert_weight(proj) -> object:
+    """Extract a projection's weight in torch [out, in] convention.
+
+    Accepts `QLinear` (frozen QArray or float weight) and `nnx.Linear`
+    (flax [in, out] kernel, transposed here). Expert MLPs have no bias in
+    the supported families; reject biased projections loudly.
+    """
+    from ..nn.qmodule import QModuleMixin
+
+    if isinstance(proj, QModuleMixin):
+        if proj.bias is not None:
+            raise ValueError("EP dispatch supports bias-free expert projections only")
+        w = proj.weight.get_value()
+        if not isinstance(w, QArray):
+            # Unfrozen QLinear: dynamic per-call quantization does not
+            # commute with stacking; use the float weights (freeze first to
+            # keep the quantized kernels).
+            return jnp.asarray(w)
+        return w
+    if isinstance(proj, nnx.Linear):
+        if proj.bias is not None:
+            raise ValueError("EP dispatch supports bias-free expert projections only")
+        return jnp.transpose(proj.kernel.get_value())
+    raise TypeError(f"unsupported expert projection module: {type(proj).__name__}")
+
+
+class _StackedProj(nnx.Module):
+    """One projection (gate/up/down) stacked over all experts.
+
+    Holds the stacked leaves as `nnx.Param`s (so they travel through
+    `nnx.split`/jit like any other weight) plus static metadata needed to
+    reconstruct a per-expert weight view inside the dispatch shard.
+    """
+
+    def __init__(self, weights: Sequence[object], mesh: Mesh, ep_axis: str):
+        def put(stacked):
+            spec = P(ep_axis, *([None] * (stacked.ndim - 1)))
+            return jax.device_put(stacked, NamedSharding(mesh, spec))
+
+        w0 = weights[0]
+        if isinstance(w0, WeightQBytesArray):
+            self.kind = "qbytes"
+            if any(w.axis != w0.axis or w.qtype is not w0.qtype for w in weights):
+                raise ValueError("experts must share qtype/axis for EP stacking")
+            self.qtype = w0.qtype
+            self.axis = w0.axis
+            self.float_dtype = w0.float_dtype
+            self.activation_qtype = w0.activation_qtype
+            self.data = nnx.Param(put(jnp.stack([w._data for w in weights])))
+            self.scale = nnx.Param(put(jnp.stack([w._scale for w in weights])))
+        elif isinstance(w0, WeightQBitsTpuArray):
+            self.kind = "qbits_tpu"
+            self.qtype = w0.qtype
+            self.group_size = w0.group_size
+            self.orig_shape = w0.orig_shape
+            self.float_dtype = w0.float_dtype
+            self.data = nnx.Param(put(jnp.stack([w._packed for w in weights])))
+            self.scale = nnx.Param(put(jnp.stack([w._scale_t for w in weights])))
+            self.shift = nnx.Param(put(jnp.stack([w._shift_t for w in weights])))
+        elif isinstance(w0, jnp.ndarray):
+            self.kind = "float"
+            self.data = nnx.Param(put(jnp.stack(list(weights))))
+        else:
+            # Generic packed WeightQBitsArray (interleaved rows) cannot be
+            # sliced per-expert without unpacking; stack dequantized.
+            self.kind = "float"
+            self.data = nnx.Param(put(jnp.stack([_maybe_deq(w) for w in weights])))
+
+    def leaves(self):
+        if self.kind == "qbits_tpu":
+            return (self.data.get_value(), self.scale.get_value(), self.shift.get_value())
+        if self.kind == "qbytes":
+            return (self.data.get_value(), self.scale.get_value())
+        return (self.data.get_value(),)
+
+    def apply(self, x: jnp.ndarray, leaves, j: int) -> jnp.ndarray:
+        """x @ w_j.T for local expert j, via the normal quantized-op stack."""
+        from ..ops.qlinear import qlinear
+
+        if self.kind == "qbytes":
+            data, scale = leaves
+            w = WeightQBytesArray(
+                _data=data[j], _scale=scale[j], qtype=self.qtype, axis=self.axis,
+                float_dtype=self.float_dtype, activation_qtype=self.activation_qtype,
+            )
+        elif self.kind == "qbits_tpu":
+            data, scale, shift = leaves
+            w = WeightQBitsTpuArray(
+                _packed=data[j], _scale_t=scale[j], _shift_t=shift[j],
+                qtype=self.qtype, group_size=self.group_size,
+                orig_shape=self.orig_shape, float_dtype=self.float_dtype,
+            )
+        else:
+            w = leaves[0][j].astype(x.dtype)
+        return qlinear(x, w)
+
+
+class EPSparseMoeBlock(nnx.Module):
+    """Drop-in replacement for a dense-mask sparse MoE block, expert-parallel.
+
+    Built by `convert_moe_to_ep`; reuses the original block's `gate` (and,
+    for Qwen2-MoE, `shared_expert`/`shared_expert_gate`) modules, which run
+    replicated.
+    """
+
+    def __init__(
+        self,
+        block,
+        mesh: Mesh,
+        *,
+        ep_axis: str = "ep",
+        capacity_factor: Optional[float] = 2.0,
+    ):
+        experts = list(block.experts)
+        num_experts = len(experts)
+        ep = mesh.shape[ep_axis]
+        if num_experts % ep != 0:
+            raise ValueError(
+                f"{num_experts} experts do not divide over ep={ep} devices"
+            )
+        self.mesh = mesh
+        self.ep_axis = ep_axis
+        self.capacity_factor = capacity_factor
+        self.num_experts = num_experts
+        self.top_k = block.top_k
+        # Mixtral always renormalizes top-k probs; Qwen2-MoE only when
+        # norm_topk_prob is set.
+        self.norm_topk_prob = getattr(block, "norm_topk_prob", True)
+        self.gate = block.gate
+        self.shared_expert = getattr(block, "shared_expert", None)
+        self.shared_expert_gate = getattr(block, "shared_expert_gate", None)
+
+        names = ("w1", "w3", "w2") if hasattr(experts[0], "w1") else (
+            "gate_proj", "up_proj", "down_proj")
+        self.proj_gate = _StackedProj([_expert_weight(getattr(e, names[0])) for e in experts], mesh, ep_axis)
+        self.proj_up = _StackedProj([_expert_weight(getattr(e, names[1])) for e in experts], mesh, ep_axis)
+        self.proj_down = _StackedProj([_expert_weight(getattr(e, names[2])) for e in experts], mesh, ep_axis)
+
+    def _capacity(self, n_tokens: int) -> int:
+        if self.capacity_factor is None:
+            return n_tokens
+        c = math.ceil(self.capacity_factor * self.top_k * n_tokens / self.num_experts)
+        c = min(n_tokens, max(1, c))
+        # Round up to a sublane multiple so gathered tiles stay TPU-friendly.
+        return min(n_tokens, -8 * (-c // 8)) if n_tokens >= 8 else c
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H = x.shape
+        S = B * T
+        E = self.num_experts
+        ep = self.mesh.shape[self.ep_axis]
+        local_e = E // ep
+        cap = self._capacity(S)
+
+        logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, self.top_k)
+        if self.norm_topk_prob:
+            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        mask = jnp.sum(
+            jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+            axis=-2,
+        )  # [B, T, E]
+
+        xf = x.reshape(S, H)
+        maskf = mask.reshape(S, E)
+
+        projs = (self.proj_gate, self.proj_up, self.proj_down)
+        leaves = tuple(p.leaves() for p in projs)
+        leaf_specs = tuple(
+            tuple(P(self.ep_axis, *([None] * (l.ndim - 1))) for l in ls)
+            for ls in leaves
+        )
+
+        def dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
+            acc = jnp.zeros((S, H), jnp.float32)
+            for j in range(local_e):
+                w_col = maskf[:, j]  # local expert j's routing weights
+                top_v, idx = jax.lax.top_k(w_col, cap)
+                xg = jnp.take(xf, idx, axis=0)
+                h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
+                y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
+                acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
+            return jax.lax.psum(acc, self.ep_axis)
+
+        out = jax.shard_map(
+            dispatch,
+            mesh=self.mesh,
+            in_specs=(P(), P(None, self.ep_axis)) + leaf_specs,
+            out_specs=P(),
+            axis_names={self.ep_axis},
+        )(xf, maskf, *leaves)
+        out = out.astype(x.dtype).reshape(B, T, H)
+
+        if self.shared_expert is not None:
+            shared = _maybe_deq(self.shared_expert(x))
+            gate = jax.nn.sigmoid(
+                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
+            )
+            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+
+def convert_moe_to_ep(
+    model,
+    mesh: Mesh,
+    *,
+    ep_axis: str = "ep",
+    capacity_factor: Optional[float] = 2.0,
+) -> int:
+    """Replace every dense-mask sparse MoE block in `model` with an
+    `EPSparseMoeBlock` sharded over `mesh[ep_axis]`. Returns the number of
+    blocks converted. Apply AFTER quantize/freeze/load; re-apply sharding
+    rules for the non-MoE weights separately (`shard_model`)."""
+    from ..models.mixtral import MixtralSparseMoeBlock
+    from ..models.qwen2_moe import Qwen2MoeSparseBlock
+
+    converted = 0
+    seen = set()
+    for path, node in list(nnx.iter_graph(model)):
+        if not isinstance(node, (MixtralSparseMoeBlock, Qwen2MoeSparseBlock)):
+            continue
+        if id(node) in seen:
+            continue
+        seen.add(id(node))
+        parent = model
+        for p in path[:-1]:
+            parent = parent[p] if isinstance(p, int) else getattr(parent, p)
+        attr = path[-1]
+        ep_block = EPSparseMoeBlock(
+            node, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
+        )
+        if isinstance(attr, int):
+            parent[attr] = ep_block
+        else:
+            setattr(parent, attr, ep_block)
+        converted += 1
+    return converted
