@@ -37,6 +37,9 @@ __all__ = [
     "qexpand",
     "qwhere",
     "qmul_scalar",
+    "qdiv_scalar",
+    "qneg",
+    "qlt",
     "qrelu",
     "qsoftmax",
     "qmatmul",
@@ -158,6 +161,45 @@ def qmul_scalar(x, scalar):
         qtype=x.qtype,
         float_dtype=x.float_dtype,
     )
+
+
+def qdiv_scalar(x, scalar):
+    """Divide by a python/0-d scalar: folds into the scale
+    (reference `qbytes_ops.py:div`)."""
+    if not isinstance(x, ActivationQBytesArray):
+        return x / scalar
+    s = jnp.asarray(scalar)
+    if s.ndim != 0:
+        return qfallback(jnp.divide, x, scalar)
+    return ActivationQBytesArray(
+        _data=x._data,
+        _scale=(x._scale.astype(jnp.float32) / s.astype(jnp.float32)).astype(x._scale.dtype),
+        qtype=x.qtype,
+        float_dtype=x.float_dtype,
+    )
+
+
+def qneg(x):
+    """Negate integer codes in place (reference `qbytes_ops.py:neg`; fp8
+    codes are sign-magnitude, not two's-complement, so they dequantize).
+    The symmetric int range is asymmetric at qmin (-128 for int8): clamp the
+    negated qmin code to qmax, matching quantize's saturation."""
+    if not isinstance(x, ActivationQBytesArray) or x.qtype.is_floating_point:
+        return jnp.negative(dequantize(x))
+    d = x._data
+    qmin = -(2 ** (x.qtype.bits - 1))
+    qmax = 2 ** (x.qtype.bits - 1) - 1
+    neg = jnp.where(d == qmin, jnp.asarray(qmax, d.dtype), (-d.astype(jnp.int32)).astype(d.dtype))
+    return _rewrap(x, neg)
+
+
+def qlt(a, b):
+    """Elementwise `<`; compares integer codes directly when both sides share
+    quantization (positive scale preserves order — reference
+    `qbytes_ops.py:lt`), else compares dequantized values."""
+    if _same_quantization([a, b]) and not a.qtype.is_floating_point:
+        return a._data < b._data
+    return dequantize(a) < dequantize(b)
 
 
 def qrelu(x):

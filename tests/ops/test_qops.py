@@ -178,3 +178,58 @@ def test_qstack_same_array_stays_quantized_under_jit():
         return out.dequantize()
 
     assert f(a).shape == (2, 4, 8)
+
+
+def test_qdiv_scalar_folds_into_scale():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qdiv_scalar(qa, 2.0)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(out.dequantize()), np.asarray(qa.dequantize()) / 2.0, rtol=1e-6
+    )
+    # Payload untouched: only the scale moved.
+    np.testing.assert_array_equal(np.asarray(out._data), np.asarray(qa._data))
+
+
+def test_qneg_int_negates_codes():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qneg(qa)
+    assert isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(
+        np.asarray(out.dequantize()), -np.asarray(qa.dequantize()), rtol=1e-6
+    )
+
+
+def test_qneg_qmin_saturates():
+    from quanto_tpu.tensor.activations import ActivationQBytesArray
+
+    data = jnp.asarray([[-128, -1, 0, 1, 127]], jnp.int8)
+    qa = ActivationQBytesArray(
+        _data=data, _scale=jnp.float32(0.5), qtype=qt.qint8, float_dtype=jnp.dtype(jnp.float32)
+    )
+    out = qops.qneg(qa)
+    np.testing.assert_array_equal(
+        np.asarray(out._data), np.asarray([[127, 1, 0, -1, -127]], np.int8)
+    )
+
+
+def test_qneg_fp8_falls_back():
+    qa = random_qactivation((4, 8), qt.qfloat8_e4m3fn)
+    out = qops.qneg(qa)
+    assert not isinstance(out, qt.ActivationQBytesArray)
+    np.testing.assert_allclose(np.asarray(out), -np.asarray(qa.dequantize()))
+
+
+def test_qlt_same_scale_compares_codes():
+    qa = random_qactivation((4, 8), qt.qint8)
+    out = qops.qlt(qa, qops.qneg(qa))
+    ref = np.asarray(qa.dequantize()) < -np.asarray(qa.dequantize())
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_qlt_mixed_dequantizes():
+    qa = random_qactivation((4, 8), qt.qint8, key=jax.random.PRNGKey(0))
+    qb = random_qactivation((4, 8), qt.qint8, key=jax.random.PRNGKey(9))
+    out = qops.qlt(qa, qb)
+    ref = np.asarray(qa.dequantize()) < np.asarray(qb.dequantize())
+    np.testing.assert_array_equal(np.asarray(out), ref)
