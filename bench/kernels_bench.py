@@ -103,6 +103,18 @@ def main():
     def pallas_w4a8_mm(x, p, s, z):
         return qbits_int8_matmul_kernel_call(x, jnp.float32(0.01), p, s, z, 4, gs, jnp.bfloat16)
 
+    # fp8 weight-only: XLA convert-fusion vs pallas manual integer decode.
+    from quanto_tpu.ops.pallas.qbytes_mm import qbytes_fp8_matmul_kernel_call
+
+    w_f8 = (w_bf16.astype(jnp.float32) / 4.0).astype(jnp.float8_e4m3fn)
+
+    def f8_output_scale_mm(x, w, s):
+        y = jnp.dot(x, w.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        return y * s.T.astype(jnp.float32)
+
+    def pallas_f8_mm(x, w, s):
+        return qbytes_fp8_matmul_kernel_call(x, w, s)
+
     variants = {
         "bf16xbf16": (bf16_mm, x, (w_bf16,)),
         "int8 w, weight-scale": (i8_weight_scale_mm, x, (w_i8, scale)),
@@ -111,6 +123,8 @@ def main():
         "int8 w, pallas fused": (pallas_i8_mm, x, (w_i8, scale)),
         "int4 w, pallas W4A16": (pallas_i4_mm, x, (packed, scale_t, shift_t)),
         "int4 w, pallas W4A8": (pallas_w4a8_mm, x_i8, (packed, scale_t, shift_t)),
+        "fp8 w, XLA convert": (f8_output_scale_mm, x, (w_f8, scale)),
+        "fp8 w, pallas int-decode": (pallas_f8_mm, x, (w_f8, scale)),
     }
 
     print(f"M={M} K={K} N={N} ({2*M*K*N/1e9:.2f} GFLOP, w_bf16={2*K*N/1e9:.3f} GB, w_i8={K*N/1e9:.3f} GB)")

@@ -155,3 +155,40 @@ def test_w4a8_qlinear_dispatch(monkeypatch):
         ops_config.set_backend()
     ref = qx.dequantize() @ qw.dequantize().T + bias
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_fp8_decode_bit_exact_all_codes():
+    """The in-kernel integer e4m3fn decode matches the dtype's own convert
+    for every non-NaN byte code."""
+    from quanto_tpu.ops.pallas.qbytes_mm import _fp8_decode_e4m3
+
+    codes = np.arange(256, dtype=np.uint8)
+    ref = np.asarray(
+        jax.lax.bitcast_convert_type(jnp.asarray(codes), jnp.float8_e4m3fn).astype(jnp.float32)
+    )
+    got = np.asarray(_fp8_decode_e4m3(jnp.asarray(codes, jnp.int32), jnp.float32))
+    keep = ~np.isnan(ref)
+    np.testing.assert_array_equal(got[keep], ref[keep])
+
+
+def test_fp8_kernel_matmul_matches_oracle():
+    from quanto_tpu.ops.pallas.qbytes_mm import qbytes_fp8_matmul_kernel_call
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 128), jnp.float32).astype(jnp.float8_e4m3fn)
+    x = jnp.asarray(rng.randn(8, 128), jnp.float32)
+    scale = jnp.asarray(np.abs(rng.randn(256, 1)) * 0.1, jnp.float32)
+    out = qbytes_fp8_matmul_kernel_call(x, w, scale, interpret=True)
+    ref = x @ (w.astype(jnp.float32) * scale).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_fp8_kernel_gating():
+    from quanto_tpu.ops.pallas.qbytes_mm import qbytes_fp8_matmul_kernel_call
+
+    x = jnp.zeros((8, 128), jnp.float32)
+    w_int8 = jnp.zeros((256, 128), jnp.int8)
+    s = jnp.ones((256, 1), jnp.float32)
+    assert qbytes_fp8_matmul_kernel_call(x, w_int8, s, interpret=True) is None
+    w_f8_bad = jnp.zeros((100, 128), jnp.float8_e4m3fn)
+    assert qbytes_fp8_matmul_kernel_call(x, w_f8_bad, jnp.ones((100, 1)), interpret=True) is None
