@@ -13,7 +13,12 @@ from .diffusers_models import (
     QuantizedSD3Transformer2DModel,
 )
 from .loading import hf_state_dict, load_hf_state_dict
-from .speculative import make_speculative_decode_fn, speculative_generate
+from .speculative import (
+    SpeculativeGenerator,
+    make_speculative_decode_fn,
+    make_speculative_sample_decode_fn,
+    speculative_generate,
+)
 from .transformers_models import (
     QuantizedModelForCausalLM,
     QuantizedTransformersModel,

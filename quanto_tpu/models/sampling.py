@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 
-__all__ = ["greedy", "make_sampler"]
+__all__ = ["greedy", "make_logits_warp", "make_sampler"]
 
 
 def greedy(logits: jnp.ndarray, key=None) -> jnp.ndarray:
@@ -22,20 +22,18 @@ def greedy(logits: jnp.ndarray, key=None) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1)
 
 
-def make_sampler(
+def make_logits_warp(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
 ) -> Callable:
-    """Categorical sampler with temperature / top-k / nucleus filtering.
+    """Logits filter fn(logits [..., V]) -> f32 logits with temperature
+    scaling and top-k / nucleus masking applied (masked entries -> -inf).
+    `softmax(warp(logits))` is the distribution the samplers draw from —
+    shared between `make_sampler` and speculative rejection sampling so
+    both see identical target distributions. temperature must be > 0."""
 
-    Returns fn(logits [..., V], key) -> ids [...]. With temperature == 0 the
-    sampler degenerates to greedy.
-    """
-    if temperature == 0.0:
-        return greedy
-
-    def sample(logits: jnp.ndarray, key) -> jnp.ndarray:
+    def warp(logits: jnp.ndarray) -> jnp.ndarray:
         logits = logits.astype(jnp.float32) / temperature
         if top_k is not None:
             kth = jnp.sort(logits, axis=-1)[..., -top_k : -top_k + 1]
@@ -51,6 +49,27 @@ def make_sampler(
                 jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
             )
             logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-        return jax.random.categorical(key, logits, axis=-1)
+        return logits
+
+    return warp
+
+
+def make_sampler(
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> Callable:
+    """Categorical sampler with temperature / top-k / nucleus filtering.
+
+    Returns fn(logits [..., V], key) -> ids [...]. With temperature == 0 the
+    sampler degenerates to greedy.
+    """
+    if temperature == 0.0:
+        return greedy
+
+    warp = make_logits_warp(temperature, top_k, top_p)
+
+    def sample(logits: jnp.ndarray, key) -> jnp.ndarray:
+        return jax.random.categorical(key, warp(logits), axis=-1)
 
     return sample

@@ -1,16 +1,23 @@
 """Speculative decoding: greedy spec output must EXACTLY equal the target
 model's own greedy generation, regardless of the draft model's quality —
 the defining correctness property. Also checks the self-draft fast path
-(draft == target accepts everything) and quantized target+draft pairs."""
+(draft == target accepts everything), quantized target+draft pairs, and —
+for the stochastic path — that rejection sampling emits tokens distributed
+per the TARGET model even when drafted from a very different model."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import nnx
 
 import quanto_tpu as qt
 from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
-from quanto_tpu.models.serve import generate
-from quanto_tpu.models.speculative import speculative_generate
+from quanto_tpu.models.sampling import make_logits_warp
+from quanto_tpu.models.serve import generate, make_prefill_fn
+from quanto_tpu.models.speculative import (
+    make_speculative_sample_decode_fn,
+    speculative_generate,
+)
 
 
 def _llama(seed=0, layers=2, hidden=64):
@@ -54,6 +61,93 @@ def test_speculative_batch_rows_diverge():
     ref = generate(target, ids, max_new_tokens=12)
     out, _ = speculative_generate(target, draft, ids, max_new_tokens=12, k=2)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_sampling_self_draft_near_full_acceptance():
+    # With draft == target, p == q up to batched-vs-stepwise matmul noise,
+    # so nearly every draft is accepted and the loop still terminates.
+    target = _llama(seed=0)
+    ids = _prompt(seed=6)
+    out, acceptance = speculative_generate(
+        target, target, ids, max_new_tokens=16, k=4, temperature=1.0,
+        key=jax.random.PRNGKey(1),
+    )
+    assert out.shape == (1, ids.shape[1] + 16)
+    assert acceptance > 0.9
+    assert bool(jnp.all((out >= 0) & (out < 128)))
+
+
+def test_speculative_sampling_matches_target_distribution():
+    # The defining property of rejection sampling: the first token emitted
+    # by a spec round is distributed per the TARGET's warped softmax, not
+    # the draft's, whatever the draft. Run one round over 4096 identical
+    # batch rows (independent per-row randomness) and compare the empirical
+    # distribution against the exact target p — and against the draft's q,
+    # which must fit strictly worse.
+    V, B = 64, 4096
+    config = dict(
+        vocab_size=V, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    target = LlamaForCausalLM(LlamaConfig(**config), rngs=nnx.Rngs(0))
+    draft = LlamaForCausalLM(
+        LlamaConfig(**{**config, "num_hidden_layers": 1}), rngs=nnx.Rngs(9)
+    )
+    warp = make_logits_warp(temperature=1.0)
+
+    T, k = 4, 2
+    ids = jnp.broadcast_to(
+        jnp.asarray(np.random.RandomState(0).randint(0, V, (1, T)), jnp.int32), (B, T)
+    )
+    t_gd, t_state = nnx.split(target)
+    d_gd, d_state = nnx.split(draft)
+    from quanto_tpu.models.llama import init_kv_cache
+
+    cache_len = T + 2 * (k + 1)
+    t_cache = init_kv_cache(target.config, B, cache_len)
+    d_cache = init_kv_cache(draft.config, B, cache_len)
+    t_logits, t_cache = make_prefill_fn(t_gd)(t_state, ids, t_cache, 0)
+    d_logits, d_cache = make_prefill_fn(d_gd)(d_state, ids, d_cache, 0)
+    # Same deterministic continuation token for every row; the NEXT token
+    # (the round's first emission) is the sampled one under test.
+    first = jnp.argmax(t_logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+
+    spec = make_speculative_sample_decode_fn(t_gd, d_gd, 1, k, warp)
+    blocks, counts, _, _, _ = spec(
+        t_state, d_state, first, t_cache, d_cache, T, jax.random.PRNGKey(3)
+    )
+    emitted = np.asarray(blocks[:, 0, 0])  # first emitted token per row
+
+    # Exact target/draft distributions at the emission position: one step
+    # past `first` (row 0 == all rows; caches are unchanged by the spec call).
+    t_step, _ = make_prefill_fn(t_gd)(t_state, first, t_cache, T)
+    d_step, _ = make_prefill_fn(d_gd)(d_state, first, d_cache, T)
+    p = np.asarray(jax.nn.softmax(warp(t_step[0, -1])))
+    q = np.asarray(jax.nn.softmax(warp(d_step[0, -1])))
+
+    emp = np.bincount(emitted, minlength=V) / B
+    l1_p = np.abs(emp - p).sum()
+    l1_q = np.abs(emp - q).sum()
+    tv_pq = 0.5 * np.abs(p - q).sum()
+    assert tv_pq > 0.2, "test needs target and draft to genuinely disagree"
+    assert l1_p < 0.15, f"empirical distribution far from target p (L1={l1_p:.3f})"
+    assert l1_p < l1_q - 0.1, f"fits draft q as well as target p ({l1_p:.3f} vs {l1_q:.3f})"
+
+
+def test_speculative_sampling_quantized_pair_smoke():
+    target = _llama(seed=0)
+    draft = _llama(seed=5, layers=1, hidden=32)
+    qt.quantize(draft, weights="qint4", exclude="lm_head")
+    qt.freeze(draft)
+    ids = _prompt(batch=2, seed=8)
+    out, acceptance = speculative_generate(
+        target, draft, ids, max_new_tokens=12, k=3,
+        temperature=0.8, top_k=20, top_p=0.95, key=jax.random.PRNGKey(0),
+    )
+    assert out.shape == (2, ids.shape[1] + 12)
+    assert 0.0 <= acceptance <= 1.0
+    assert bool(jnp.all((out >= 0) & (out < 128)))
 
 
 def test_speculative_quantized_pair():
