@@ -2,6 +2,7 @@ from .llama import KVCache, LlamaConfig, LlamaForCausalLM, init_kv_cache
 from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .mixtral import MixtralConfig, MixtralForCausalLM
 from .opt import OPTConfig, OPTForCausalLM
+from .t5 import T5Config, T5ForConditionalGeneration
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel
