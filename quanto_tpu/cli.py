@@ -38,7 +38,11 @@ def _to_qtype_name(name: str) -> str:
 def cmd_quantize(args) -> int:
     import jax.numpy as jnp
 
-    from .models import QuantizedModelForCausalLM, from_pretrained_float
+    from .models import (
+        QuantizedModelForCausalLM,
+        QuantizedModelForSeq2SeqLM,
+        from_pretrained_float,
+    )
 
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
     print(f"loading float model from {args.model} ...", file=sys.stderr)
@@ -46,7 +50,13 @@ def cmd_quantize(args) -> int:
     weights = _to_qtype_name(args.weights)
     activations = None if args.activations == "none" else _to_qtype_name(args.activations)
     print(f"quantizing weights={weights} activations={activations} ...", file=sys.stderr)
-    qmodel = QuantizedModelForCausalLM.quantize(
+    model_type = getattr(getattr(model, "_hf_config", None), "model_type", None)
+    wrapper = (
+        QuantizedModelForSeq2SeqLM
+        if model_type in ("t5", "mt5", "whisper")
+        else QuantizedModelForCausalLM
+    )
+    qmodel = wrapper.quantize(
         model,
         weights=weights,
         activations=activations,

@@ -3,6 +3,7 @@ from .gpt2 import GPT2Config, GPT2LMHeadModel
 from .mixtral import MixtralConfig, MixtralForCausalLM
 from .opt import OPTConfig, OPTForCausalLM
 from .t5 import T5Config, T5ForConditionalGeneration
+from .whisper import WhisperConfig, WhisperForConditionalGeneration
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel
@@ -22,6 +23,7 @@ from .speculative import (
 )
 from .transformers_models import (
     QuantizedModelForCausalLM,
+    QuantizedModelForSeq2SeqLM,
     QuantizedTransformersModel,
     build_model,
     from_pretrained_float,

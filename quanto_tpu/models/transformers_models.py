@@ -28,6 +28,7 @@ from .loading import hf_state_dict, load_hf_state_dict
 __all__ = [
     "QuantizedTransformersModel",
     "QuantizedModelForCausalLM",
+    "QuantizedModelForSeq2SeqLM",
     "build_model",
     "from_pretrained_float",
 ]
@@ -56,8 +57,16 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         return GPT2LMHeadModel(GPT2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "opt":
         return OPTForCausalLM(OPTConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type in ("t5", "mt5"):
+        from .t5 import T5Config, T5ForConditionalGeneration
+
+        return T5ForConditionalGeneration(T5Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "whisper":
+        from .whisper import WhisperConfig, WhisperForConditionalGeneration
+
+        return WhisperForConditionalGeneration(WhisperConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper"
     )
 
 
@@ -137,6 +146,36 @@ def _synthesize_hf_config(model):
             decoder_sparse_step=c.decoder_sparse_step,
             mlp_only_layers=list(c.mlp_only_layers),
             tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .t5 import T5ForConditionalGeneration
+
+    if isinstance(model, T5ForConditionalGeneration):
+        from transformers import T5Config as HFT5Config
+
+        return HFT5Config(
+            vocab_size=c.vocab_size, d_model=c.d_model, d_kv=c.d_kv, d_ff=c.d_ff,
+            num_layers=c.num_layers, num_decoder_layers=c.num_decoder_layers,
+            num_heads=c.num_heads,
+            relative_attention_num_buckets=c.relative_attention_num_buckets,
+            relative_attention_max_distance=c.relative_attention_max_distance,
+            layer_norm_epsilon=c.layer_norm_epsilon,
+            feed_forward_proj=c.feed_forward_proj,
+            tie_word_embeddings=c.tie_word_embeddings,
+            decoder_start_token_id=c.decoder_start_token_id,
+        )
+    from .whisper import WhisperForConditionalGeneration
+
+    if isinstance(model, WhisperForConditionalGeneration):
+        from transformers import WhisperConfig as HFWhisperConfig
+
+        return HFWhisperConfig(
+            vocab_size=c.vocab_size, num_mel_bins=c.num_mel_bins, d_model=c.d_model,
+            encoder_layers=c.encoder_layers, encoder_attention_heads=c.encoder_attention_heads,
+            encoder_ffn_dim=c.encoder_ffn_dim, decoder_layers=c.decoder_layers,
+            decoder_attention_heads=c.decoder_attention_heads, decoder_ffn_dim=c.decoder_ffn_dim,
+            max_source_positions=c.max_source_positions,
+            max_target_positions=c.max_target_positions,
+            decoder_start_token_id=c.decoder_start_token_id,
         )
     from .opt import OPTForCausalLM
 
@@ -270,3 +309,9 @@ class QuantizedTransformersModel:
 
 class QuantizedModelForCausalLM(QuantizedTransformersModel):
     """Causal-LM flavor (reference `transformers_models.py:182-183`)."""
+
+
+class QuantizedModelForSeq2SeqLM(QuantizedTransformersModel):
+    """Encoder-decoder flavor (T5/MT5). The reference reaches seq2seq models
+    through `optimum-cli quanto quantize --task`; here the wrapper is
+    explicit since the NNX architectures are our own."""

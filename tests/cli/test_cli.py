@@ -59,3 +59,35 @@ def test_cli_quantize_and_reload(capsys):
         captured = capsys.readouterr().out
         assert "quantized modules:" in captured
         assert "I8" in captured
+
+
+def test_cli_quantize_t5(capsys):
+    """Seq2seq checkpoints route through QuantizedModelForSeq2SeqLM."""
+    from transformers import T5Config as HFT5Config
+
+    from quanto_tpu.models import QuantizedModelForSeq2SeqLM, T5Config, T5ForConditionalGeneration
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as dst:
+        hf_config = HFT5Config(
+            vocab_size=96, d_model=48, d_kv=12, d_ff=96, num_layers=2,
+            num_heads=4, relative_attention_num_buckets=8,
+            decoder_start_token_id=0,
+        )
+        model = T5ForConditionalGeneration(T5Config.from_hf(hf_config, dtype=jnp.float32))
+        hf_config.save_pretrained(src)
+        save_file(hf_state_dict(model), os.path.join(src, "model.safetensors"))
+        rc = cli_main([
+            "quantize", dst, "-m", src, "--weights", "int8", "--dtype", "fp32",
+        ])
+        assert rc == 0
+        with open(os.path.join(dst, "quanto_qmap.json")) as f:
+            qmap = json.load(f)
+        assert qmap["encoder.block.0.layer.0.SelfAttention.q"]["weights"] == "qint8"
+        reloaded = QuantizedModelForSeq2SeqLM.from_pretrained(dst, dtype=jnp.float32)
+        enc_ids = jnp.asarray(np.array([[1, 5, 17, 9]], dtype=np.int64))
+        dec_ids = jnp.asarray(np.array([[0, 3]], dtype=np.int64))
+        ref, _ = model(dec_ids, encoder_input_ids=enc_ids)
+        out, _ = reloaded(dec_ids, encoder_input_ids=enc_ids)
+        a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99

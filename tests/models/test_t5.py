@@ -170,6 +170,24 @@ def test_t5_generate_greedy(torch_and_nnx):
     np.testing.assert_array_equal(ours[:, : ref.shape[1]], ref)
 
 
+def test_t5_quantize_save_reload(tmp_path, torch_and_nnx):
+    """The reference's end-to-end shape, seq2seq flavor: quantize →
+    save_pretrained → from_pretrained → logits equality."""
+    from quanto_tpu.models import QuantizedModelForSeq2SeqLM
+
+    _, model = _load_pair(_tiny_hf_config())
+    enc_ids = jnp.asarray(_ids((1, 6), seed=16))
+    dec_ids = jnp.asarray(_ids((1, 4), seed=17))
+    qmodel = QuantizedModelForSeq2SeqLM.quantize(model, weights="qint8", exclude="lm_head")
+    ref, _ = qmodel(dec_ids, encoder_input_ids=enc_ids)
+    qmodel.save_pretrained(str(tmp_path))
+    reloaded = QuantizedModelForSeq2SeqLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    qmap = qt.quantization_map(reloaded._wrapped)
+    assert "decoder.block.0.layer.1.EncDecAttention.q" in qmap
+    out, _ = reloaded(dec_ids, encoder_input_ids=enc_ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_t5_serve_scan_decode(torch_and_nnx):
     """The decode signature matches the causal-LM families, so the jitted
     lax.scan decoder from serve.make_decode_fn drives T5 unchanged."""
