@@ -4,6 +4,9 @@ from .sharding import (
     GPT2_TP_RULES,
     MIXTRAL_TP_RULES,
     LLAMA_TP_RULES,
+    OPT_TP_RULES,
+    T5_TP_RULES,
+    WHISPER_TP_RULES,
     ShardingRule,
     make_mesh,
     shard_kv_cache,

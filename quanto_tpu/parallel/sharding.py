@@ -38,6 +38,11 @@ __all__ = [
     "shard_model",
     "shard_kv_cache",
     "LLAMA_TP_RULES",
+    "GPT2_TP_RULES",
+    "MIXTRAL_TP_RULES",
+    "OPT_TP_RULES",
+    "WHISPER_TP_RULES",
+    "T5_TP_RULES",
     "ShardingRule",
 ]
 
@@ -72,6 +77,33 @@ GPT2_TP_RULES: Tuple[ShardingRule, ...] = (
     (r"\b(c_attn|c_fc)\b", P("tp", None)),  # column-parallel
     (r"\bc_proj\b", P(None, "tp")),  # row-parallel
     (r"\b(wte|wpe)\b", P("tp", None)),
+)
+
+# OPT / Whisper share the transformer naming (q/k/v/out_proj, fc1/fc2):
+# column-parallel projections and fc1, row-parallel out_proj/fc2,
+# vocab-parallel embedding. Whisper's conv frontend, positional tables and
+# norms match no rule and replicate.
+OPT_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(q_proj|k_proj|v_proj|fc1)\b", P("tp", None)),
+    (r"\b(out_proj|fc2)\b", P(None, "tp")),
+    (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
+)
+
+WHISPER_TP_RULES = OPT_TP_RULES
+
+# T5: q/k/v column-parallel, o row-parallel (both self- and cross-attention);
+# wi/wi_0/wi_1 column-, wo row-parallel; the shared embedding and untied
+# lm_head vocab-parallel. relative_attention_bias ([buckets, heads]) matches
+# no rule and replicates — its per-head bias values are gathered with the
+# attention logits, which XLA keeps local to each head shard.
+T5_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(SelfAttention|EncDecAttention)\.(q|k|v)\b", P("tp", None)),
+    (r"\b(SelfAttention|EncDecAttention)\.o\b", P(None, "tp")),
+    (r"\b(wi|wi_0|wi_1)\b", P("tp", None)),
+    (r"\bwo\b", P(None, "tp")),
+    (r"\bshared\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
 )
 
 # Mixtral: attention as llama; every expert's SwiGLU shards like the dense

@@ -296,3 +296,71 @@ def test_tp_sharded_continuous_batching_int4_int8cache():
     engine.run_to_completion()
     for rid in out:
         assert engine.result(rid) == ref_engine.result(rid), rid
+
+
+def test_t5_tp_rules():
+    """Encoder-decoder TP: quantized T5 sharded forward == unsharded."""
+    from quanto_tpu.models import T5Config, T5ForConditionalGeneration
+    from quanto_tpu.parallel import T5_TP_RULES
+
+    config = T5Config(
+        vocab_size=96, d_model=64, d_kv=16, d_ff=128, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16, dtype=jnp.float32,
+    )
+    model = T5ForConditionalGeneration(config, rngs=nnx.Rngs(0))
+    enc_ids = jnp.asarray(np.random.RandomState(0).randint(0, 96, (2, 6)))
+    dec_ids = jnp.asarray(np.random.RandomState(1).randint(0, 96, (2, 4)))
+    qt.quantize(model, weights="qint8")
+    qt.freeze(model)
+    ref, _ = model(dec_ids, encoder_input_ids=enc_ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, T5_TP_RULES)
+    qw = model.encoder.block[0].layer[0].SelfAttention.q.weight.get_value()
+    assert qw._data.sharding.spec == P("tp", None)
+    assert qw._scale.sharding.spec == P("tp", None)
+    wo = model.decoder.block[0].layer[2].DenseReluDense.wo.weight.get_value()
+    assert wo._data.sharding.spec == P(None, "tp")
+    cross_q = model.decoder.block[0].layer[1].EncDecAttention.q.weight.get_value()
+    assert cross_q._data.sharding.spec == P("tp", None)
+    # relative_attention_bias stays replicated.
+    rb = model.encoder.block[0].layer[0].SelfAttention.relative_attention_bias
+    assert rb.embedding.get_value().sharding.spec == P()
+
+    with mesh:
+        out, _ = model(dec_ids, encoder_input_ids=enc_ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_whisper_tp_rules():
+    from quanto_tpu.models import WhisperConfig, WhisperForConditionalGeneration
+    from quanto_tpu.parallel import WHISPER_TP_RULES
+
+    config = WhisperConfig(
+        vocab_size=120, num_mel_bins=8, d_model=64,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=16, max_target_positions=16,
+        decoder_start_token_id=1, dtype=jnp.float32,
+    )
+    model = WhisperForConditionalGeneration(config, rngs=nnx.Rngs(0))
+    feats = jnp.asarray(np.random.RandomState(0).randn(2, 8, 32), jnp.float32)
+    dec_ids = jnp.asarray(np.random.RandomState(1).randint(0, 120, (2, 4)))
+    qt.quantize(model, weights="qint8")
+    qt.freeze(model)
+    ref, _ = model(dec_ids, input_features=feats)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, WHISPER_TP_RULES)
+    qw = model.model.encoder.layers[0].self_attn.q_proj.weight.get_value()
+    assert qw._data.sharding.spec == P("tp", None)
+    fc2 = model.model.decoder.layers[0].fc2.weight.get_value()
+    assert fc2._data.sharding.spec == P(None, "tp")
+    # Conv frontend params stay replicated.
+    assert model.model.encoder.conv1.weight.get_value().sharding.spec == P()
+
+    with mesh:
+        out, _ = model(dec_ids, input_features=feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
