@@ -30,7 +30,7 @@ from flax import nnx
 
 import quanto_tpu as qt
 from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
-from quanto_tpu.models.serve import make_decode_fn, make_prefill_fn
+from quanto_tpu.models.serve import make_cache, make_decode_fn, make_prefill_fn
 from quanto_tpu.models.speculative import SpeculativeGenerator
 
 
@@ -79,7 +79,7 @@ def main():
     graphdef, state = nnx.split(target)
     prefill = make_prefill_fn(graphdef)
     decode = make_decode_fn(graphdef, n_new - 1)
-    cache0 = SpeculativeGenerator._make_cache(target, 1, args.prompt + n_new)
+    cache0 = make_cache(target, 1, args.prompt + n_new)
 
     def plain():
         logits, cache = prefill(state, ids, cache0, 0)

@@ -25,7 +25,7 @@ def make_data(n=2048, seed=0):
     requires attention across positions, not just bag-of-words."""
     rng = np.random.RandomState(seed)
     x = rng.randint(0, VOCAB, (n, SEQ))
-    first7 = np.argmax(x == 7, axis=1) + (x == 7).any(1) * 0
+    first7 = np.argmax(x == 7, axis=1)
     first13 = np.argmax(x == 13, axis=1)
     y = ((x == 7).any(1) & (x == 13).any(1) & (first7 < first13)).astype(np.int32)
     return x.astype(np.int32), y

@@ -36,7 +36,9 @@ def make_logits_warp(
     def warp(logits: jnp.ndarray) -> jnp.ndarray:
         logits = logits.astype(jnp.float32) / temperature
         if top_k is not None:
-            kth = jnp.sort(logits, axis=-1)[..., -top_k : -top_k + 1]
+            # [..., -k:][..., :1] rather than [..., -k:-k+1]: the latter is an
+            # empty slice when k == 1.
+            kth = jnp.sort(logits, axis=-1)[..., -top_k:][..., :1]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         if top_p is not None:
             sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]

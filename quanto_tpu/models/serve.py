@@ -16,7 +16,22 @@ from flax import nnx
 from jax import lax
 
 
-__all__ = ["make_prefill_fn", "make_decode_fn", "make_stacked_fns", "generate"]
+__all__ = ["make_cache", "make_prefill_fn", "make_decode_fn", "make_stacked_fns", "generate"]
+
+
+def make_cache(model, batch: int, cache_len: int, dtype=None, kv_quant=None):
+    """KV cache for any model family: the model's own `init_kv_cache` when it
+    defines one, else the llama-family layout from its config."""
+    from .llama import init_kv_cache
+
+    kwargs = {}
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    if kv_quant is not None:
+        kwargs["kv_quant"] = kv_quant
+    if hasattr(model, "init_kv_cache"):
+        return model.init_kv_cache(batch, cache_len, **kwargs)
+    return init_kv_cache(model.config, batch, cache_len, **kwargs)
 
 
 def make_prefill_fn(graphdef):
@@ -117,15 +132,10 @@ def generate(model, input_ids: jnp.ndarray, max_new_tokens: int, cache_len: Opti
     Unlike `LlamaForCausalLM.generate` (eager, one device call per token),
     this compiles exactly two programs regardless of sequence length.
     """
-    from .llama import init_kv_cache
-
     B, T = input_ids.shape
     cache_len = cache_len or (T + max_new_tokens)
     graphdef, state = nnx.split(model)
-    if hasattr(model, "init_kv_cache"):
-        cache = model.init_kv_cache(B, cache_len)
-    else:
-        cache = init_kv_cache(model.config, B, cache_len)
+    cache = make_cache(model, B, cache_len)
     prefill = make_prefill_fn(graphdef)
     decode = make_decode_fn(graphdef, max_new_tokens - 1)
     logits, cache = prefill(state, input_ids, cache, 0)

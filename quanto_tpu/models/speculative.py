@@ -167,8 +167,9 @@ def make_speculative_sample_decode_fn(
             ps = jax.nn.softmax(warp(t_logits), axis=-1)  # [B, k+1, V]
 
             # Accept draft i iff u_i < p_i(x_i)/q_i(x_i); written as
-            # u*q < p so q(x)=0 (impossible for a sampled token, but
-            # guard underflow) rejects rather than dividing by zero.
+            # u*q < p to avoid the division. If q(x) underflows to 0
+            # (impossible for a sampled token, barring float underflow) this
+            # accepts whenever p > 0 — the correct limit of min(1, p/q).
             p_x = jnp.take_along_axis(ps[:, :k], drafts[..., None], axis=-1)[..., 0]
             q_x = jnp.take_along_axis(qs, drafts[..., None], axis=-1)[..., 0]
             u = jax.random.uniform(keys[k], (B, k))
@@ -262,14 +263,6 @@ class SpeculativeGenerator:
             self._spec_fns[rounds] = fn
         return fn
 
-    @staticmethod
-    def _make_cache(model, batch: int, cache_len: int):
-        from .llama import init_kv_cache
-
-        if hasattr(model, "init_kv_cache"):
-            return model.init_kv_cache(batch, cache_len)
-        return init_kv_cache(model.config, batch, cache_len)
-
     def generate(
         self,
         input_ids: jnp.ndarray,
@@ -288,9 +281,11 @@ class SpeculativeGenerator:
         chunks_bound = max(1, -(-(max_new_tokens - 1) // rounds))
         cache_len = cache_len or (T + 1 + k + chunks_bound * rounds * (k + 1))
 
+        from .serve import make_cache
+
         t_state, d_state = self._t_state, self._d_state
-        t_cache = self._make_cache(self.target, B, cache_len)
-        d_cache = self._make_cache(self.draft, B, cache_len)
+        t_cache = make_cache(self.target, B, cache_len)
+        d_cache = make_cache(self.draft, B, cache_len)
         logits, t_cache = self._t_prefill(t_state, input_ids, t_cache, 0)
         _, d_cache = self._d_prefill(d_state, input_ids, d_cache, 0)
 

@@ -412,7 +412,6 @@ class T5ForConditionalGeneration(nnx.Module):
             enc_bias = None
             if enc_mask is not None:
                 enc_bias = jnp.where(enc_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
-            cross = None
             for block in self.decoder.block:
                 x, _ = block.layer[0](x, mask=causal, bias=bias)
                 x = block.layer[1](

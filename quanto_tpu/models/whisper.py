@@ -245,6 +245,14 @@ class WhisperForConditionalGeneration(nnx.Module):
 
     def init_decoder_cache(self, enc_hidden: jnp.ndarray, max_len: int, dtype=None, kv_quant=None):
         c = self.config
+        if max_len > c.max_target_positions:
+            # The learned position table ends here; silently clamping (JAX's
+            # default out-of-bounds gather) would reuse the last row's
+            # embedding for every later token. HF raises too.
+            raise ValueError(
+                f"decoder cache length {max_len} exceeds max_target_positions "
+                f"{c.max_target_positions}"
+            )
         B = enc_hidden.shape[0]
         cross = tuple(
             layer.encoder_attn.kv(enc_hidden) for layer in self.model.decoder.layers
@@ -279,6 +287,11 @@ class WhisperForConditionalGeneration(nnx.Module):
         x = dec.embed_tokens(decoder_input_ids)
 
         if cache is None:
+            if T > self.config.max_target_positions:
+                raise ValueError(
+                    f"decoder sequence length {T} exceeds max_target_positions "
+                    f"{self.config.max_target_positions}"
+                )
             if encoder_hidden_states is None:
                 if input_features is None:
                     raise ValueError("full forward needs input_features or encoder_hidden_states")

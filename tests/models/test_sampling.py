@@ -71,3 +71,16 @@ def test_engine_with_sampler():
     rid = engine.add(np.random.RandomState(0).randint(0, 128, 5).tolist(), max_new_tokens=6)
     engine.run_to_completion()
     assert len(engine.result(rid)) == 6
+
+
+def test_top_k_one_is_greedy():
+    # Regression: [..., -k:-k+1] was an empty slice at k=1 and crashed.
+    import jax
+    import numpy as np
+    from quanto_tpu.models.sampling import make_logits_warp, make_sampler
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(4, 16))
+    warped = make_logits_warp(1.0, top_k=1)(logits)
+    assert (jnp.sum(jnp.isfinite(warped), axis=-1) == 1).all()
+    ids = make_sampler(temperature=1.0, top_k=1)(logits, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(jnp.argmax(logits, -1)))

@@ -129,3 +129,16 @@ def test_whisper_quantized(torch_and_nnx):
     b = np.asarray(q_out).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.99
+
+
+def test_whisper_position_table_bound_errors(torch_and_nnx):
+    # Regression: positions past max_target_positions used to clamp silently
+    # (JAX out-of-bounds gather), reusing the last row's embedding.
+    _, model = torch_and_nnx
+    feats = jnp.asarray(_features(seed=9))
+    enc = model.encode(feats)
+    with pytest.raises(ValueError, match="max_target_positions"):
+        model.init_decoder_cache(enc, model.config.max_target_positions + 1)
+    too_long = jnp.zeros((2, model.config.max_target_positions + 1), jnp.int32)
+    with pytest.raises(ValueError, match="max_target_positions"):
+        model(too_long, input_features=feats)
