@@ -65,8 +65,12 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .whisper import WhisperConfig, WhisperForConditionalGeneration
 
         return WhisperForConditionalGeneration(WhisperConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "vit":
+        from .vit import ViTConfig, ViTForImageClassification
+
+        return ViTForImageClassification(ViTConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit"
     )
 
 
@@ -176,6 +180,19 @@ def _synthesize_hf_config(model):
             max_source_positions=c.max_source_positions,
             max_target_positions=c.max_target_positions,
             decoder_start_token_id=c.decoder_start_token_id,
+        )
+    from .vit import ViTForImageClassification
+
+    if isinstance(model, ViTForImageClassification):
+        from transformers import ViTConfig as HFViTConfig
+
+        return HFViTConfig(
+            hidden_size=c.hidden_size, num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            intermediate_size=c.intermediate_size, image_size=c.image_size,
+            patch_size=c.patch_size, num_channels=c.num_channels,
+            layer_norm_eps=c.layer_norm_eps,
+            id2label={i: f"LABEL_{i}" for i in range(c.num_labels)},
         )
     from .opt import OPTForCausalLM
 
