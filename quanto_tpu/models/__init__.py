@@ -5,6 +5,7 @@ from .opt import OPTConfig, OPTForCausalLM
 from .t5 import T5Config, T5ForConditionalGeneration
 from .whisper import WhisperConfig, WhisperForConditionalGeneration
 from .vit import ViTConfig, ViTForImageClassification
+from .bert import BertConfig, BertForSequenceClassification
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel

@@ -69,8 +69,12 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .vit import ViTConfig, ViTForImageClassification
 
         return ViTForImageClassification(ViTConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "bert":
+        from .bert import BertConfig, BertForSequenceClassification
+
+        return BertForSequenceClassification(BertConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert"
     )
 
 
@@ -180,6 +184,20 @@ def _synthesize_hf_config(model):
             max_source_positions=c.max_source_positions,
             max_target_positions=c.max_target_positions,
             decoder_start_token_id=c.decoder_start_token_id,
+        )
+    from .bert import BertForSequenceClassification
+
+    if isinstance(model, BertForSequenceClassification):
+        from transformers import BertConfig as HFBertConfig
+
+        return HFBertConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            intermediate_size=c.intermediate_size,
+            max_position_embeddings=c.max_position_embeddings,
+            type_vocab_size=c.type_vocab_size, layer_norm_eps=c.layer_norm_eps,
+            id2label={i: f"LABEL_{i}" for i in range(c.num_labels)},
         )
     from .vit import ViTForImageClassification
 
