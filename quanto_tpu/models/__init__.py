@@ -6,6 +6,7 @@ from .t5 import T5Config, T5ForConditionalGeneration
 from .whisper import WhisperConfig, WhisperForConditionalGeneration
 from .vit import ViTConfig, ViTForImageClassification
 from .bert import BertConfig, BertForSequenceClassification
+from .bloom import BloomConfig, BloomForCausalLM
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel

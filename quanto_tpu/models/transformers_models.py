@@ -73,8 +73,12 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .bert import BertConfig, BertForSequenceClassification
 
         return BertForSequenceClassification(BertConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "bloom":
+        from .bloom import BloomConfig, BloomForCausalLM
+
+        return BloomForCausalLM(BloomConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert, bloom"
     )
 
 
@@ -184,6 +188,18 @@ def _synthesize_hf_config(model):
             max_source_positions=c.max_source_positions,
             max_target_positions=c.max_target_positions,
             decoder_start_token_id=c.decoder_start_token_id,
+        )
+    from .bloom import BloomForCausalLM
+
+    if isinstance(model, BloomForCausalLM):
+        from transformers import BloomConfig as HFBloomConfig
+
+        return HFBloomConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            n_layer=c.num_hidden_layers, n_head=c.num_attention_heads,
+            layer_norm_epsilon=c.layer_norm_epsilon,
+            apply_residual_connection_post_layernorm=c.apply_residual_connection_post_layernorm,
+            tie_word_embeddings=c.tie_word_embeddings,
         )
     from .bert import BertForSequenceClassification
 
