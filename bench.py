@@ -100,12 +100,22 @@ def main():
     qt.freeze(model)
     int4_tps = bench_model(model, "int4")
 
+    # int4 head as well: the LM head is the largest remaining bf16 weight
+    # stream (131 MB/step at this size); the Pallas kernel covers N=32000
+    # (bn=256). Measured ppl delta vs bf16 is +0.06% (RESULTS.md).
+    log("rebuilding + quantizing to int4 g128 incl. lm_head...")
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4")
+    qt.freeze(model)
+    int4h_tps = bench_model(model, "int4+head4")
+
     log(json.dumps({
         "bf16_tok_s": round(bf16_tps, 2),
         "int8_tok_s": round(int8_tps, 2),
         "int4_tok_s": round(int4_tps, 2),
+        "int4_head4_tok_s": round(int4h_tps, 2),
     }))
-    best = max(int8_tps, int4_tps)
+    best = max(int8_tps, int4_tps, int4h_tps)
     print(json.dumps({
         "metric": "llama1b_decode_best_quant_tok_s",
         "value": round(best, 2),

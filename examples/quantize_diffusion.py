@@ -21,7 +21,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--family", choices=["flux", "sd3", "pixart"], default="flux")
+    p.add_argument("--family", choices=["flux", "sd3", "pixart", "unet"], default="flux")
     p.add_argument("--weights", default="qint8",
                    choices=["qint4", "qint8", "qfloat8_e4m3fn"])
     p.add_argument("--model", default=None, help="local diffusers checkpoint dir")
@@ -34,6 +34,7 @@ def main():
         FluxConfig, FluxTransformer2DModel, QuantizedFluxTransformer2DModel,
         PixArtConfig, PixArtTransformer2DModel, QuantizedPixArtTransformer2DModel,
         QuantizedSD3Transformer2DModel, SD3Config, SD3Transformer2DModel,
+        QuantizedUNet2DConditionModel, UNet2DConfig, UNet2DConditionModel,
     )
 
     rng = np.random.RandomState(0)
@@ -65,6 +66,23 @@ def main():
             jnp.asarray(rng.randn(1, 8, 256), jnp.bfloat16),
             jnp.asarray(rng.randn(1, 64), jnp.bfloat16),
             jnp.asarray([500.0], jnp.float32),
+        )
+    elif args.family == "unet":
+        # The SD-1.5 conv UNet (the reference's StableDiffusion example
+        # quantizes exactly this class) at a reduced size.
+        wrapper_cls = QuantizedUNet2DConditionModel
+        config = UNet2DConfig(
+            sample_size=16, block_out_channels=(64, 128),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=2, cross_attention_dim=64, attention_head_dim=4,
+            norm_num_groups=16, dtype=jnp.bfloat16,
+        )
+        model = UNet2DConditionModel(config, rngs=nnx.Rngs(0))
+        inputs = (
+            jnp.asarray(rng.randn(1, 4, 16, 16), jnp.bfloat16),
+            jnp.asarray([500.0], jnp.float32),
+            jnp.asarray(rng.randn(1, 8, 64), jnp.bfloat16),
         )
     else:
         wrapper_cls = QuantizedPixArtTransformer2DModel

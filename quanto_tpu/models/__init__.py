@@ -11,11 +11,13 @@ from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel
 from .sd3 import SD3Config, SD3Transformer2DModel
+from .unet2d import UNet2DConfig, UNet2DConditionModel
 from .diffusers_models import (
     QuantizedDiffusersModel,
     QuantizedFluxTransformer2DModel,
     QuantizedPixArtTransformer2DModel,
     QuantizedSD3Transformer2DModel,
+    QuantizedUNet2DConditionModel,
 )
 from .loading import hf_state_dict, load_hf_state_dict
 from .speculative import (

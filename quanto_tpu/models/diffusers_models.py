@@ -28,6 +28,7 @@ from .loading import hf_state_dict, load_hf_state_dict
 from .flux import FluxConfig, FluxTransformer2DModel
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .sd3 import SD3Config, SD3Transformer2DModel
+from .unet2d import UNet2DConfig, UNet2DConditionModel
 from .transformers_models import QMAP_NAME
 
 
@@ -36,6 +37,7 @@ __all__ = [
     "QuantizedPixArtTransformer2DModel",
     "QuantizedFluxTransformer2DModel",
     "QuantizedSD3Transformer2DModel",
+    "QuantizedUNet2DConditionModel",
 ]
 
 
@@ -153,3 +155,13 @@ class QuantizedSD3Transformer2DModel(QuantizedDiffusersModel):
     base_class = SD3Transformer2DModel
     config_class = SD3Config
     class_name = "SD3Transformer2DModel"
+
+
+class QuantizedUNet2DConditionModel(QuantizedDiffusersModel):
+    """SD-1.5/2.x conditional UNet (the reference's StableDiffusion example
+    quantizes this class, `examples/vision/StableDiffusion/
+    quantize_StableDiffusion.py:26-33`)."""
+
+    base_class = UNet2DConditionModel
+    config_class = UNet2DConfig
+    class_name = "UNet2DConditionModel"

@@ -115,7 +115,7 @@ def load_hf_state_dict(model, tensors: Mapping[str, jnp.ndarray], dtype=None) ->
                 node.weight.set_value(cast(w, node.weight))
             else:
                 missing.append(f"{prefix}weight")
-        elif isinstance(node, nnx.LayerNorm):
+        elif isinstance(node, (nnx.LayerNorm, nnx.GroupNorm)):
             w = get(f"{prefix}weight")
             if w is not None and node.use_scale:
                 node.scale.set_value(cast(w, node.scale))
@@ -174,7 +174,7 @@ def hf_state_dict(model) -> Dict[str, jnp.ndarray]:
             out[f"{prefix}weight"] = node.embedding.get_value()
         elif isinstance(node, RMSNorm):
             out[f"{prefix}weight"] = node.weight.get_value()
-        elif isinstance(node, nnx.LayerNorm):
+        elif isinstance(node, (nnx.LayerNorm, nnx.GroupNorm)):
             if node.use_scale:
                 out[f"{prefix}weight"] = node.scale.get_value()
             if node.use_bias:
