@@ -7,6 +7,7 @@ from .whisper import WhisperConfig, WhisperForConditionalGeneration
 from .vit import ViTConfig, ViTForImageClassification
 from .bert import BertConfig, BertForSequenceClassification
 from .bloom import BloomConfig, BloomForCausalLM
+from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel

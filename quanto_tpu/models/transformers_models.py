@@ -77,6 +77,10 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .bloom import BloomConfig, BloomForCausalLM
 
         return BloomForCausalLM(BloomConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "owlv2":
+        from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
+
+        return Owlv2ForObjectDetection(Owlv2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
         f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert, bloom"
     )
@@ -188,6 +192,29 @@ def _synthesize_hf_config(model):
             max_source_positions=c.max_source_positions,
             max_target_positions=c.max_target_positions,
             decoder_start_token_id=c.decoder_start_token_id,
+        )
+    from .owlv2 import Owlv2ForObjectDetection
+
+    if isinstance(model, Owlv2ForObjectDetection):
+        from transformers import Owlv2Config as HFOwlv2Config
+
+        tower = lambda t, extra: {
+            "hidden_size": t.hidden_size, "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "layer_norm_eps": t.layer_norm_eps, "attention_dropout": 0.0, **extra,
+        }
+        return HFOwlv2Config(
+            text_config=tower(c.text, {
+                "vocab_size": c.vocab_size,
+                "max_position_embeddings": c.max_position_embeddings,
+            }),
+            vision_config=tower(c.vision, {
+                "image_size": c.image_size, "patch_size": c.patch_size,
+                "num_channels": c.num_channels,
+            }),
+            projection_dim=c.projection_dim,
+            logit_scale_init_value=c.logit_scale_init_value,
         )
     from .bloom import BloomForCausalLM
 
