@@ -7,6 +7,11 @@ from .whisper import WhisperConfig, WhisperForConditionalGeneration
 from .vit import ViTConfig, ViTForImageClassification
 from .bert import BertConfig, BertForSequenceClassification
 from .bloom import BloomConfig, BloomForCausalLM
+from .gemma2 import Gemma2Config, Gemma2ForCausalLM
+from .phi3 import Phi3Config, Phi3ForCausalLM
+from .gpt_neox import GPTNeoXConfig, GPTNeoXForCausalLM
+from .starcoder2 import Starcoder2Config, Starcoder2ForCausalLM
+from .falcon import FalconConfig, FalconForCausalLM
 from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel

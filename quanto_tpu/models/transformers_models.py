@@ -45,6 +45,26 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
     model_type = getattr(hf_config, "model_type", None) or hf_config.get("model_type")
     if model_type in ("llama", "mistral", "qwen2", "gemma"):
         return LlamaForCausalLM(LlamaConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "gemma2":
+        from .gemma2 import Gemma2Config, Gemma2ForCausalLM
+
+        return Gemma2ForCausalLM(Gemma2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "phi3":
+        from .phi3 import Phi3Config, Phi3ForCausalLM
+
+        return Phi3ForCausalLM(Phi3Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "gpt_neox":
+        from .gpt_neox import GPTNeoXConfig, GPTNeoXForCausalLM
+
+        return GPTNeoXForCausalLM(GPTNeoXConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "starcoder2":
+        from .starcoder2 import Starcoder2Config, Starcoder2ForCausalLM
+
+        return Starcoder2ForCausalLM(Starcoder2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "falcon":
+        from .falcon import FalconConfig, FalconForCausalLM
+
+        return FalconForCausalLM(FalconConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "mixtral":
         from .mixtral import MixtralConfig, MixtralForCausalLM
 
@@ -82,7 +102,7 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
 
         return Owlv2ForObjectDetection(Owlv2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
-        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert, bloom"
+        f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, gemma2, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert, bloom, owlv2"
     )
 
 
@@ -123,6 +143,101 @@ def _synthesize_hf_config(model):
         return HFGPT2Config(
             vocab_size=c.vocab_size, n_positions=c.n_positions, n_embd=c.n_embd,
             n_layer=c.n_layer, n_head=c.n_head, layer_norm_epsilon=c.layer_norm_epsilon,
+        )
+    from .gemma2 import Gemma2ForCausalLM
+
+    if isinstance(model, Gemma2ForCausalLM):
+        from transformers import Gemma2Config as HFGemma2Config
+
+        return HFGemma2Config(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            head_dim=c.head_dim,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            query_pre_attn_scalar=c.query_pre_attn_scalar,
+            attn_logit_softcapping=c.attn_logit_softcapping,
+            final_logit_softcapping=c.final_logit_softcapping,
+            sliding_window=c.sliding_window,
+            layer_types=list(c.layer_types),
+            attention_bias=c.attention_bias,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .phi3 import Phi3ForCausalLM
+
+    if isinstance(model, Phi3ForCausalLM):
+        from transformers import Phi3Config as HFPhi3Config
+
+        return HFPhi3Config(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            partial_rotary_factor=c.partial_rotary_factor,
+            sliding_window=c.sliding_window,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .gpt_neox import GPTNeoXForCausalLM
+
+    if isinstance(model, GPTNeoXForCausalLM):
+        from transformers import GPTNeoXConfig as HFGPTNeoXConfig
+
+        return HFGPTNeoXConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            rotary_pct=c.rotary_pct, rotary_emb_base=c.rope_theta,
+            max_position_embeddings=c.max_position_embeddings,
+            layer_norm_eps=c.layer_norm_eps,
+            use_parallel_residual=c.use_parallel_residual,
+            attention_bias=c.attention_bias,
+            hidden_act=c.hidden_act,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .starcoder2 import Starcoder2ForCausalLM
+
+    if isinstance(model, Starcoder2ForCausalLM):
+        from transformers import Starcoder2Config as HFStarcoder2Config
+
+        return HFStarcoder2Config(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            max_position_embeddings=c.max_position_embeddings,
+            norm_epsilon=c.norm_epsilon, rope_theta=c.rope_theta,
+            sliding_window=c.sliding_window, use_bias=c.use_bias,
+            hidden_act=c.hidden_act,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .falcon import FalconForCausalLM
+
+    if isinstance(model, FalconForCausalLM):
+        from transformers import FalconConfig as HFFalconConfig
+
+        return HFFalconConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_kv_heads=c.num_kv_heads,
+            layer_norm_epsilon=c.layer_norm_epsilon,
+            alibi=c.alibi,
+            new_decoder_architecture=c.new_decoder_architecture,
+            multi_query=c.multi_query, parallel_attn=c.parallel_attn,
+            num_ln_in_parallel_attn=c.num_ln_in_parallel_attn,
+            bias=c.bias,
+            max_position_embeddings=c.max_position_embeddings,
+            rope_theta=c.rope_theta, ffn_hidden_size=c.ffn_hidden_size,
+            activation=c.activation,
+            tie_word_embeddings=c.tie_word_embeddings,
         )
     from .mixtral import MixtralForCausalLM
 
