@@ -12,6 +12,7 @@ from .phi3 import Phi3Config, Phi3ForCausalLM
 from .gpt_neox import GPTNeoXConfig, GPTNeoXForCausalLM
 from .starcoder2 import Starcoder2Config, Starcoder2ForCausalLM
 from .falcon import FalconConfig, FalconForCausalLM
+from .qwen3 import Qwen3Config, Qwen3ForCausalLM, Qwen3MoeConfig, Qwen3MoeForCausalLM
 from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel

@@ -65,6 +65,14 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .falcon import FalconConfig, FalconForCausalLM
 
         return FalconForCausalLM(FalconConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "qwen3":
+        from .qwen3 import Qwen3Config, Qwen3ForCausalLM
+
+        return Qwen3ForCausalLM(Qwen3Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "qwen3_moe":
+        from .qwen3 import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+        return Qwen3MoeForCausalLM(Qwen3MoeConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "mixtral":
         from .mixtral import MixtralConfig, MixtralForCausalLM
 
@@ -218,6 +226,36 @@ def _synthesize_hf_config(model):
             hidden_act=c.hidden_act,
             tie_word_embeddings=c.tie_word_embeddings,
         )
+    from .qwen3 import Qwen3ForCausalLM, Qwen3MoeForCausalLM
+
+    if isinstance(model, Qwen3ForCausalLM):  # covers Qwen3MoeForCausalLM subclass
+        common = dict(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            head_dim=c.head_dim,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            tie_word_embeddings=c.tie_word_embeddings,
+            hidden_act=c.hidden_act,
+        )
+        if isinstance(model, Qwen3MoeForCausalLM):
+            from transformers import Qwen3MoeConfig as HFQwen3MoeConfig
+
+            return HFQwen3MoeConfig(
+                num_experts=c.num_experts,
+                num_experts_per_tok=c.num_experts_per_tok,
+                moe_intermediate_size=c.moe_intermediate_size,
+                norm_topk_prob=c.norm_topk_prob,
+                decoder_sparse_step=c.decoder_sparse_step,
+                mlp_only_layers=list(c.mlp_only_layers),
+                **common,
+            )
+        from transformers import Qwen3Config as HFQwen3Config
+
+        return HFQwen3Config(**common)
     from .falcon import FalconForCausalLM
 
     if isinstance(model, FalconForCausalLM):

@@ -1,10 +1,14 @@
 from .distributed import global_mesh, initialize
 from .moe import EPSparseMoeBlock, convert_moe_to_ep
 from .sharding import (
+    FALCON_TP_RULES,
     GPT2_TP_RULES,
     MIXTRAL_TP_RULES,
     LLAMA_TP_RULES,
+    NEOX_TP_RULES,
     OPT_TP_RULES,
+    PHI3_TP_RULES,
+    STARCODER2_TP_RULES,
     T5_TP_RULES,
     WHISPER_TP_RULES,
     ShardingRule,

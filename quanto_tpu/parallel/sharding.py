@@ -43,6 +43,10 @@ __all__ = [
     "OPT_TP_RULES",
     "WHISPER_TP_RULES",
     "T5_TP_RULES",
+    "PHI3_TP_RULES",
+    "STARCODER2_TP_RULES",
+    "NEOX_TP_RULES",
+    "FALCON_TP_RULES",
     "ShardingRule",
 ]
 
@@ -117,6 +121,48 @@ MIXTRAL_TP_RULES: Tuple[ShardingRule, ...] = (
     (r"\bexperts\.\d+\.(w1|w3)\b", P("tp", None)),
     (r"\bexperts\.\d+\.w2\b", P(None, "tp")),
     (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
+)
+
+
+# Gemma-2 and Qwen3 (dense + MoE: experts use gate/up/down names) reuse
+# LLAMA_TP_RULES unchanged — same projection names, and the per-head-dim
+# q/k norms (qwen3) / extra layer norms (gemma2) match no rule and replicate.
+
+# Phi-3 fuses qkv and gate_up into single projections: column-parallel on
+# the fused out-dim is still one exact matmul (XLA reshards for the
+# downstream split/reshape); o/down row-parallel as usual.
+PHI3_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(qkv_proj|gate_up_proj)\b", P("tp", None)),
+    (r"\b(o_proj|down_proj)\b", P(None, "tp")),
+    (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
+)
+
+# StarCoder2: llama attention names + ungated c_fc/c_proj MLP.
+STARCODER2_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(q_proj|k_proj|v_proj|c_fc)\b", P("tp", None)),
+    (r"\bc_proj\b", P(None, "tp")),
+    (r"\bo_proj\b", P(None, "tp")),
+    (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
+)
+
+# GPT-NeoX: fused per-head-interleaved query_key_value shards along the
+# out-dim in whole heads as long as tp divides num_heads ([H, 3, D] blocks
+# of 3*D stay contiguous per head); dense/dense_4h_to_h row-parallel.
+NEOX_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(query_key_value|dense_h_to_4h)\b", P("tp", None)),
+    (r"\b(attention\.dense|dense_4h_to_h)\b", P(None, "tp")),
+    (r"\bembed_in\b", P("tp", None)),
+    (r"\bembed_out\b", P("tp", None)),
+)
+
+# Falcon / BLOOM share the query_key_value + dense + dense_h_to_4h naming.
+FALCON_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(query_key_value|dense_h_to_4h)\b", P("tp", None)),
+    (r"\b(self_attention\.dense|dense_4h_to_h)\b", P(None, "tp")),
+    (r"\bword_embeddings\b", P("tp", None)),
     (r"\blm_head\b", P("tp", None)),
 )
 

@@ -364,3 +364,142 @@ def test_whisper_tp_rules():
     with mesh:
         out, _ = model(dec_ids, input_features=feats)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_phi3_tp_rules():
+    from quanto_tpu.models import Phi3Config, Phi3ForCausalLM
+    from quanto_tpu.parallel import PHI3_TP_RULES
+
+    config = Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        dtype=jnp.float32,
+    )
+    model = Phi3ForCausalLM(config, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    ref, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, PHI3_TP_RULES)
+    qkv = model.model.layers[0].self_attn.qkv_proj.weight.get_value()
+    assert qkv._data.sharding.spec == P("tp", None)
+    down = model.model.layers[0].mlp.down_proj.weight.get_value()
+    assert down._data.sharding.spec == P(None, "tp")
+
+    with mesh:
+        out, _ = model(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_gemma2_qwen3_use_llama_rules():
+    from quanto_tpu.models import (
+        Gemma2Config, Gemma2ForCausalLM, Qwen3Config, Qwen3ForCausalLM,
+    )
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+
+    g2 = Gemma2ForCausalLM(
+        Gemma2Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+            head_dim=8, query_pre_attn_scalar=8.0, sliding_window=4,
+            dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    q3 = Qwen3ForCausalLM(
+        Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+            head_dim=8, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    for model in (g2, q3):
+        qt.quantize(model, weights="qint8", exclude="lm_head")
+        qt.freeze(model)
+        ref, _ = model(ids)
+        shard_model(model, mesh, LLAMA_TP_RULES)
+        qw = model.model.layers[0].self_attn.q_proj.weight.get_value()
+        assert qw._data.sharding.spec == P("tp", None)
+        with mesh:
+            out, _ = model(ids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_starcoder2_tp_rules():
+    from quanto_tpu.models import Starcoder2Config, Starcoder2ForCausalLM
+    from quanto_tpu.parallel import STARCODER2_TP_RULES
+
+    config = Starcoder2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        dtype=jnp.float32,
+    )
+    model = Starcoder2ForCausalLM(config, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+    qt.quantize(model, weights="qint8")
+    qt.freeze(model)
+    ref, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, STARCODER2_TP_RULES)
+    cfc = model.model.layers[0].mlp.c_fc.weight.get_value()
+    assert cfc._data.sharding.spec == P("tp", None)
+    cproj = model.model.layers[0].mlp.c_proj.weight.get_value()
+    assert cproj._data.sharding.spec == P(None, "tp")
+
+    with mesh:
+        out, _ = model(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_neox_and_falcon_tp_rules():
+    from quanto_tpu.models import (
+        FalconConfig, FalconForCausalLM, GPTNeoXConfig, GPTNeoXForCausalLM,
+    )
+    from quanto_tpu.parallel import FALCON_TP_RULES, NEOX_TP_RULES
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+
+    neox = GPTNeoXForCausalLM(
+        GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=8, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    qt.quantize(neox, weights="qint8", exclude="embed_out")
+    qt.freeze(neox)
+    ref, _ = neox(ids)
+    shard_model(neox, mesh, NEOX_TP_RULES)
+    qkv = neox.gpt_neox.layers[0].attention.query_key_value.weight.get_value()
+    assert qkv._data.sharding.spec == P("tp", None)
+    dense = neox.gpt_neox.layers[0].attention.dense.weight.get_value()
+    assert dense._data.sharding.spec == P(None, "tp")
+    with mesh:
+        out, _ = neox(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    falcon = FalconForCausalLM(
+        FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=8, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    qt.quantize(falcon, weights="qint8")
+    qt.freeze(falcon)
+    ref, _ = falcon(ids)
+    shard_model(falcon, mesh, FALCON_TP_RULES)
+    h4h = falcon.transformer.h[0].mlp.dense_h_to_4h.weight.get_value()
+    assert h4h._data.sharding.spec == P("tp", None)
+    d4h = falcon.transformer.h[0].mlp.dense_4h_to_h.weight.get_value()
+    assert d4h._data.sharding.spec == P(None, "tp")
+    with mesh:
+        out, _ = falcon(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
