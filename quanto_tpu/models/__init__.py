@@ -8,12 +8,15 @@ from .vit import ViTConfig, ViTForImageClassification
 from .bert import BertConfig, BertForSequenceClassification
 from .bloom import BloomConfig, BloomForCausalLM
 from .gemma2 import Gemma2Config, Gemma2ForCausalLM
+from .gemma3 import Gemma3TextConfig, Gemma3ForCausalLM
 from .phi3 import Phi3Config, Phi3ForCausalLM
 from .gpt_neox import GPTNeoXConfig, GPTNeoXForCausalLM
 from .starcoder2 import Starcoder2Config, Starcoder2ForCausalLM
 from .falcon import FalconConfig, FalconForCausalLM
 from .qwen3 import Qwen3Config, Qwen3ForCausalLM, Qwen3MoeConfig, Qwen3MoeForCausalLM
+from .deepseek_v3 import DeepseekV3Config, DeepseekV3ForCausalLM
 from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
+from .clip import CLIPConfig, CLIPModel
 from .qwen2_moe import Qwen2MoeConfig, Qwen2MoeForCausalLM
 from .pixart import PixArtConfig, PixArtTransformer2DModel
 from .flux import FluxConfig, FluxTransformer2DModel

@@ -49,6 +49,12 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .gemma2 import Gemma2Config, Gemma2ForCausalLM
 
         return Gemma2ForCausalLM(Gemma2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type in ("gemma3_text", "gemma3"):
+        from .gemma3 import Gemma3TextConfig, Gemma3ForCausalLM
+
+        # Multimodal gemma3 configs nest the LM under `text_config`.
+        text_config = getattr(hf_config, "text_config", None) or hf_config
+        return Gemma3ForCausalLM(Gemma3TextConfig.from_hf(text_config, dtype=dtype), rngs=rngs)
     if model_type == "phi3":
         from .phi3 import Phi3Config, Phi3ForCausalLM
 
@@ -73,6 +79,10 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .qwen3 import Qwen3MoeConfig, Qwen3MoeForCausalLM
 
         return Qwen3MoeForCausalLM(Qwen3MoeConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "deepseek_v3":
+        from .deepseek_v3 import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        return DeepseekV3ForCausalLM(DeepseekV3Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
     if model_type == "mixtral":
         from .mixtral import MixtralConfig, MixtralForCausalLM
 
@@ -109,6 +119,10 @@ def _build_from_hf_config(hf_config, dtype=jnp.bfloat16, rngs=None):
         from .owlv2 import Owlv2Config, Owlv2ForObjectDetection
 
         return Owlv2ForObjectDetection(Owlv2Config.from_hf(hf_config, dtype=dtype), rngs=rngs)
+    if model_type == "clip":
+        from .clip import CLIPConfig, CLIPModel
+
+        return CLIPModel(CLIPConfig.from_hf(hf_config, dtype=dtype), rngs=rngs)
     raise ValueError(
         f"Unsupported model_type {model_type!r}: supported are llama, mistral, qwen2, gemma, gemma2, mixtral, qwen2_moe, gpt2, opt, t5, mt5, whisper, vit, bert, bloom, owlv2"
     )
@@ -256,6 +270,60 @@ def _synthesize_hf_config(model):
         from transformers import Qwen3Config as HFQwen3Config
 
         return HFQwen3Config(**common)
+    from .gemma3 import Gemma3ForCausalLM
+
+    if isinstance(model, Gemma3ForCausalLM):
+        from transformers import Gemma3TextConfig as HFGemma3TextConfig
+
+        return HFGemma3TextConfig(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            num_key_value_heads=c.num_key_value_heads,
+            head_dim=c.head_dim,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            rope_local_base_freq=c.rope_local_base_freq,
+            rope_scaling=(
+                {"rope_type": "linear", "factor": c.rope_scaling_factor}
+                if c.rope_scaling_factor else None
+            ),
+            query_pre_attn_scalar=c.query_pre_attn_scalar,
+            sliding_window=c.sliding_window,
+            sliding_window_pattern=c.sliding_window_pattern,
+            layer_types=list(c.layer_types),
+            attention_bias=c.attention_bias,
+            tie_word_embeddings=c.tie_word_embeddings,
+        )
+    from .deepseek_v3 import DeepseekV3ForCausalLM
+
+    if isinstance(model, DeepseekV3ForCausalLM):
+        from transformers import DeepseekV3Config as HFDeepseekV3Config
+
+        return HFDeepseekV3Config(
+            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
+            intermediate_size=c.intermediate_size,
+            moe_intermediate_size=c.moe_intermediate_size,
+            num_hidden_layers=c.num_hidden_layers,
+            num_attention_heads=c.num_attention_heads,
+            n_shared_experts=c.n_shared_experts,
+            n_routed_experts=c.n_routed_experts,
+            routed_scaling_factor=c.routed_scaling_factor,
+            kv_lora_rank=c.kv_lora_rank, q_lora_rank=c.q_lora_rank,
+            qk_rope_head_dim=c.qk_rope_head_dim,
+            v_head_dim=c.v_head_dim, qk_nope_head_dim=c.qk_nope_head_dim,
+            n_group=c.n_group, topk_group=c.topk_group,
+            num_experts_per_tok=c.num_experts_per_tok,
+            first_k_dense_replace=c.first_k_dense_replace,
+            norm_topk_prob=c.norm_topk_prob,
+            max_position_embeddings=c.max_position_embeddings,
+            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            rope_interleave=c.rope_interleave,
+            attention_bias=c.attention_bias,
+            tie_word_embeddings=c.tie_word_embeddings,
+            hidden_act=c.hidden_act,
+        )
     from .falcon import FalconForCausalLM
 
     if isinstance(model, FalconForCausalLM):
@@ -361,6 +429,31 @@ def _synthesize_hf_config(model):
             text_config=tower(c.text, {
                 "vocab_size": c.vocab_size,
                 "max_position_embeddings": c.max_position_embeddings,
+            }),
+            vision_config=tower(c.vision, {
+                "image_size": c.image_size, "patch_size": c.patch_size,
+                "num_channels": c.num_channels,
+            }),
+            projection_dim=c.projection_dim,
+            logit_scale_init_value=c.logit_scale_init_value,
+        )
+    from .clip import CLIPModel as NNXCLIPModel
+
+    if isinstance(model, NNXCLIPModel):
+        from transformers import CLIPConfig as HFCLIPConfig
+
+        tower = lambda t, extra: {
+            "hidden_size": t.hidden_size, "intermediate_size": t.intermediate_size,
+            "num_hidden_layers": t.num_hidden_layers,
+            "num_attention_heads": t.num_attention_heads,
+            "layer_norm_eps": t.layer_norm_eps, "hidden_act": t.hidden_act,
+            "attention_dropout": 0.0, **extra,
+        }
+        return HFCLIPConfig(
+            text_config=tower(c.text, {
+                "vocab_size": c.vocab_size,
+                "max_position_embeddings": c.max_position_embeddings,
+                "eos_token_id": c.eos_token_id,
             }),
             vision_config=tower(c.vision, {
                 "image_size": c.image_size, "patch_size": c.patch_size,

@@ -1,6 +1,7 @@
 from .distributed import global_mesh, initialize
 from .moe import EPSparseMoeBlock, convert_moe_to_ep
 from .sharding import (
+    DEEPSEEK_V3_TP_RULES,
     FALCON_TP_RULES,
     GPT2_TP_RULES,
     MIXTRAL_TP_RULES,

@@ -47,6 +47,7 @@ __all__ = [
     "STARCODER2_TP_RULES",
     "NEOX_TP_RULES",
     "FALCON_TP_RULES",
+    "DEEPSEEK_V3_TP_RULES",
     "ShardingRule",
 ]
 
@@ -156,6 +157,20 @@ NEOX_TP_RULES: Tuple[ShardingRule, ...] = (
     (r"\b(attention\.dense|dense_4h_to_h)\b", P(None, "tp")),
     (r"\bembed_in\b", P("tp", None)),
     (r"\bembed_out\b", P("tp", None)),
+)
+
+# DeepSeek-V3 MLA: the per-head up-projections (q_proj / q_b_proj and
+# kv_b_proj, out-dim = H * head_dims) shard column-wise in whole heads when
+# tp | num_heads; o_proj row-parallel. The low-rank down-projections
+# (q_a_proj, kv_a_proj_with_mqa) and their RMSNorms replicate — splitting the
+# latent across devices would break the shared-rope-key split and the
+# weight-absorbed decode reshape. Routed/shared experts follow the llama
+# gate/up/down rules; the router (`gate.weight`) replicates.
+DEEPSEEK_V3_TP_RULES: Tuple[ShardingRule, ...] = (
+    (r"\b(q_proj|q_b_proj|kv_b_proj|gate_proj|up_proj)\b", P("tp", None)),
+    (r"\b(o_proj|down_proj)\b", P(None, "tp")),
+    (r"\bembed_tokens\b", P("tp", None)),
+    (r"\blm_head\b", P("tp", None)),
 )
 
 # Falcon / BLOOM share the query_key_value + dense + dense_h_to_4h naming.
