@@ -61,6 +61,7 @@ class BatchedEngine:
         eos_token_id: Optional[int] = None,
         sample_fn: Optional[Callable] = None,
         mesh=None,
+        prefill_chunk: Optional[int] = None,
     ):
         from .llama import init_kv_cache
 
@@ -69,6 +70,12 @@ class BatchedEngine:
         self.max_len = max_len
         self.eos_token_id = eos_token_id
         self._mesh = mesh
+        # Chunked prefill: pad prompts to fixed `prefill_chunk`-token pieces
+        # so ONE compiled prefill program serves every prompt length (the
+        # default compiles one program per distinct length). Padding garbage
+        # past the prompt end is never read: decode step q overwrites
+        # position q before attending, and the causal mask hides the rest.
+        self.prefill_chunk = prefill_chunk
         self._graphdef, self._state = nnx.split(model)
         self._cache = self._make_cache(kv_quant)
         if mesh is not None:
@@ -102,6 +109,15 @@ class BatchedEngine:
             return logits[:, -1], slot_cache
 
         @jax.jit
+        def _prefill_chunk_fn(state, ids, slot_cache, pos, last_idx):
+            # Fixed-shape prefill piece at cache offset `pos`; `last_idx`
+            # selects the last REAL token's logits inside the padded chunk.
+            m = nnx.merge(graphdef, state)
+            logits, slot_cache = m(ids, slot_cache, pos)
+            last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
+            return last[:, 0], slot_cache
+
+        @jax.jit
         def _scatter_slot(cache, slot_cache, slot):
             def put(big, small):
                 return jax.lax.dynamic_update_slice(
@@ -119,9 +135,46 @@ class BatchedEngine:
 
         self._prefill_fn = _prefill
         self._prefill_at_fn = _prefill_at
+        self._prefill_chunk_fn = _prefill_chunk_fn
         self._scatter_fn = _scatter_slot
         self._step_fn = _step
         self._slot_cache_template = None
+
+    def _prefill_into(self, slot_cache, prompt, start_pos: int = 0):
+        """Prefill `prompt` into `slot_cache` starting at `start_pos`;
+        returns (last-real-token logits, cache). Uses fixed-shape chunks when
+        `prefill_chunk` is set (one compiled program for all lengths), the
+        whole-prompt program otherwise."""
+        C = self.prefill_chunk
+        if C is None:
+            ids = jnp.asarray(prompt[None, :])
+            if start_pos:
+                return self._run(
+                    self._prefill_at_fn, self._state, ids, slot_cache, jnp.int32(start_pos)
+                )
+            return self._run(self._prefill_fn, self._state, ids, slot_cache)
+        last = None
+        n = len(prompt)
+        c0 = 0
+        while c0 < n:
+            chunk = prompt[c0 : c0 + C]
+            r = len(chunk)
+            if r < C and start_pos + c0 + C > self.max_len:
+                # Padding would spill past the cache (dynamic_update_slice
+                # clamps backwards and would corrupt real entries): run the
+                # remainder through the variable-shape program instead.
+                return self._run(
+                    self._prefill_at_fn, self._state, jnp.asarray(chunk[None, :]),
+                    slot_cache, jnp.int32(start_pos + c0),
+                )
+            if r < C:
+                chunk = np.pad(chunk, (0, C - r))
+            last, slot_cache = self._run(
+                self._prefill_chunk_fn, self._state, jnp.asarray(chunk[None, :]),
+                slot_cache, jnp.int32(start_pos + c0), jnp.int32(r - 1),
+            )
+            c0 += C
+        return last, slot_cache
 
     def _make_cache(self, kv_quant):
         from .llama import init_kv_cache
@@ -174,8 +227,7 @@ class BatchedEngine:
 
                 kv_quant = qtypes[self._cache[0].qtype_name]
             slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
-        ids = jnp.asarray(prompt[None, :])
-        last_logits, slot_cache = self._run(self._prefill_fn, self._state, ids, slot_cache)
+        last_logits, slot_cache = self._prefill_into(slot_cache, prompt)
         self._key, sub = jax.random.split(self._key)
         first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
         self._cache = self._run(self._scatter_fn, self._cache, slot_cache, slot)
@@ -385,13 +437,9 @@ class PagedEngine(BatchedEngine):
         # 3. Prefill the un-shared suffix through the slot's table row (the
         # sliced view writes the shared pool pages in place).
         cache_view = self._with_table(self._cache, self._table[slot : slot + 1])
-        ids = jnp.asarray(prompt[None, shared_len:])
-        if shared_len:
-            last_logits, cache_view = self._run(
-                self._prefill_at_fn, self._state, ids, cache_view, jnp.int32(shared_len)
-            )
-        else:
-            last_logits, cache_view = self._run(self._prefill_fn, self._state, ids, cache_view)
+        last_logits, cache_view = self._prefill_into(
+            cache_view, prompt[shared_len:], start_pos=shared_len
+        )
         self._cache = self._with_table(cache_view, self._table)
 
         # 4. Register this prompt's new fully-covered pages for future reuse.

@@ -89,22 +89,29 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     nchunks = Kpacked // _CHUNK
     K = Kpacked * vals
 
-    xf = x_ref[:].astype(jnp.float32)
+    # bf16 inputs dot in bf16 (int4 codes are exact in bf16 and the MXU
+    # accumulates f32, so the numerics are IDENTICAL to f32 dots of the same
+    # bf16 values — but the MXU runs at its full bf16 rate). f32 inputs keep
+    # f32 dots (casting x would lose mantissa bits).
+    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    x = x_ref[:].astype(dot_dtype)
     y = jnp.zeros((M, BN), jnp.float32)
-    for part in range(vals):
-        for c in range(nchunks):
-            b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
+    for c in range(nchunks):
+        # Read + widen each packed byte block ONCE; both nibble parts come
+        # from the same int32 registers.
+        b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
+        for part in range(vals):
             raw = (b32 >> (bits * part)) & mask if part else b32 & mask
-            codes = raw.astype(jnp.float32)
+            codes = raw.astype(dot_dtype)
             k0 = part * (K // vals) + c * _CHUNK
             g = k0 // group_size
-            xg = xf[:, k0 : k0 + _CHUNK]
+            xg = x[:, k0 : k0 + _CHUNK]
             pd = jax.lax.dot_general(
                 xg, codes,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            xsum = jnp.sum(xg, axis=1, keepdims=True)
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
             y += pd * s_ref[g : g + 1, :] - xsum * z_ref[g : g + 1, :]
     out_ref[:] = y
 

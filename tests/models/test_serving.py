@@ -84,3 +84,55 @@ def test_engine_quantized_kv_cache(model):
     rid = engine.add(p, max_new_tokens=4)
     engine.run_to_completion()
     assert len(engine.result(rid)) == 4
+
+
+def test_engine_chunked_prefill_matches_unchunked(model):
+    """prefill_chunk pads prompts into fixed-size pieces; tokens must be
+    identical to whole-prompt prefill for every ragged length (incl. lengths
+    that are exact multiples of the chunk and a final partial chunk)."""
+    rng = np.random.RandomState(1)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 8, 3, 11)]
+    n_new = 6
+    refs = [_ref_generate(model, p, n_new) for p in prompts]
+
+    engine = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref
+
+
+def test_engine_chunked_prefill_near_capacity(model):
+    """A final partial chunk whose padding would spill past max_len falls
+    back to the variable-shape program instead of corrupting the cache."""
+    rng = np.random.RandomState(2)
+    prompt = rng.randint(0, 128, size=13).tolist()  # 13+3=16=max_len; pad->16>13+?
+    ref = _ref_generate(model, prompt, 3)
+    engine = BatchedEngine(model, max_batch=1, max_len=16, prefill_chunk=8)
+    rid = engine.add(prompt, max_new_tokens=3)
+    engine.run_to_completion()
+    assert engine.result(rid) == ref
+
+
+def test_paged_engine_chunked_prefill_with_prefix_sharing(model):
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 128, size=9).tolist()
+    p1 = base + rng.randint(0, 128, size=3).tolist()
+    p2 = base + rng.randint(0, 128, size=2).tolist()
+    n_new = 5
+    refs = [_ref_generate(model, p, n_new) for p in (p1, p2)]
+
+    engine = PagedEngine(
+        model, max_batch=2, max_len=32, n_pages=17, page_size=4,
+        prefix_sharing=True,
+    )
+    engine.prefill_chunk = 4
+    r1 = engine.add(p1, max_new_tokens=n_new)
+    engine.run_to_completion()
+    r2 = engine.add(p2, max_new_tokens=n_new)
+    engine.run_to_completion()
+    assert engine.result(r1) == refs[0]
+    assert engine.result(r2) == refs[1]
+    assert engine.prefix_hits > 0  # suffix-only prefill exercised chunking at offset
