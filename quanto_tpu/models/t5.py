@@ -340,6 +340,10 @@ class T5ForConditionalGeneration(nnx.Module):
     def _lm_logits(self, x):
         from ..tensor.qarray import QArray
 
+        # x is quantized when the final norm quantizes its output
+        # (activations=... models); the projection below is a plain jnp
+        # matmul, so dequantize first.
+        x = _maybe_deq(x)
         if self.lm_head is None:
             emb = self.shared.embedding.get_value()
             if isinstance(emb, QArray):

@@ -238,6 +238,10 @@ class WhisperForConditionalGeneration(nnx.Module):
     def _lm_logits(self, x):
         from ..tensor.qarray import QArray
 
+        # x is quantized when the final QLayerNorm quantizes its output
+        # (activations=... models); the tied-embedding projection is a plain
+        # jnp matmul, so dequantize first.
+        x = _maybe_deq(x)
         emb = self.model.decoder.embed_tokens.embedding.get_value()
         if isinstance(emb, QArray):
             emb = emb.dequantize()

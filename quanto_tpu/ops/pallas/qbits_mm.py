@@ -52,6 +52,12 @@ __all__ = [
 
 _CHUNK = 128  # lanes per unpacked MXU contraction
 
+# A/B override for the in-kernel dot dtype (None = auto: bf16 inputs dot in
+# bf16, f32 inputs in f32). Benchmarks flip this to isolate MXU-rate effects
+# within one session (tunnel sessions have additive timing offsets, so only
+# same-session comparisons are trustworthy — RESULTS.md).
+_FORCE_DOT_DTYPE = None
+
 
 def pack_split_half(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     """Pack uint8 codes [N, K] into the split-half layout [N, K * bits / 8]."""
@@ -93,7 +99,9 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     # accumulates f32, so the numerics are IDENTICAL to f32 dots of the same
     # bf16 values — but the MXU runs at its full bf16 rate). f32 inputs keep
     # f32 dots (casting x would lose mantissa bits).
-    dot_dtype = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    dot_dtype = _FORCE_DOT_DTYPE or (
+        jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    )
     x = x_ref[:].astype(dot_dtype)
     y = jnp.zeros((M, BN), jnp.float32)
     for c in range(nchunks):

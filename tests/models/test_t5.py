@@ -238,3 +238,17 @@ def test_t5_quantize_freeze_roundtrip(torch_and_nnx):
     qt.freeze(model2)
     out2, _ = model2(dec_ids, encoder_input_ids=enc_ids)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(q_out), rtol=1e-5, atol=1e-5)
+
+
+def test_t5_activation_quantized_generate():
+    # Regression: with activations quantized, a QArray reaching _lm_logits
+    # (tied-embedding scaling + matmul) crashed.
+    _, model = _load_pair(_tiny_hf_config())
+    enc_ids = jnp.asarray(_ids((2, 6), seed=11))
+    ref = np.asarray(model.generate(enc_ids, 5))
+    qt.quantize(model, weights="qint8", activations="qint8")
+    with qt.Calibration(model):
+        model.generate(enc_ids, 5)
+    qt.freeze(model)
+    out = np.asarray(model.generate(enc_ids, 5))
+    assert out.shape == ref.shape

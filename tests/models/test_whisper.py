@@ -142,3 +142,17 @@ def test_whisper_position_table_bound_errors(torch_and_nnx):
     too_long = jnp.zeros((2, model.config.max_target_positions + 1), jnp.int32)
     with pytest.raises(ValueError, match="max_target_positions"):
         model(too_long, input_features=feats)
+
+
+def test_whisper_activation_quantized_generate():
+    # Regression: with activations quantized, the final QLayerNorm's QArray
+    # output reached the tied-embedding logits matmul and crashed.
+    _, model = _load_pair()
+    feats = jnp.asarray(_features(seed=10))
+    ref = np.asarray(model.generate(feats, 5))
+    qt.quantize(model, weights="qint8", activations="qint8")
+    with qt.Calibration(model):
+        model.generate(feats, 5)
+    qt.freeze(model)
+    out = np.asarray(model.generate(feats, 5))
+    assert out.shape == ref.shape
