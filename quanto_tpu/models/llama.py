@@ -44,6 +44,10 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # HF `rope_scaling` (llama3 / linear / dynamic / yarn), stored as a sorted
+    # tuple of (key, value) pairs: the config lives in the nnx graphdef, which
+    # is hashed as a jit cache key, so it must stay hashable.
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     # Qwen2-style: bias on q/k/v projections only (o_proj stays bias-free).
@@ -82,6 +86,7 @@ class LlamaConfig:
             max_position_embeddings=get("max_position_embeddings", 4096),
             rms_norm_eps=get("rms_norm_eps", 1e-6),
             rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(get("rope_scaling")),
             tie_word_embeddings=get("tie_word_embeddings", False),
             attention_bias=get("attention_bias", False),
             # HF Qwen2 hardcodes qkv bias regardless of any (stray)
@@ -113,12 +118,114 @@ class RMSNorm(nnx.Module):
         return (out * w).astype(x.dtype)
 
 
-def _rope(positions: jnp.ndarray, head_dim: int, theta: float, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def freeze_rope_scaling(rs) -> Optional[Tuple[Tuple[str, Any], ...]]:
+    """HF rope_scaling dict -> hashable sorted tuple (config-safe), or None."""
+    if not rs:
+        return None
+    if isinstance(rs, tuple):
+        return rs
+    return tuple(sorted((str(k), v) for k, v in dict(rs).items()))
+
+
+def rope_params(
+    head_dim: int,
+    theta: float,
+    scaling=None,
+    max_position_embeddings: int = 0,
+) -> Tuple[jnp.ndarray, float]:
+    """Per-dim rotary inverse frequencies and the attention scale factor.
+
+    Implements the HF `rope_scaling` variants (transformers
+    `modeling_rope_utils.ROPE_INIT_FUNCTIONS`) used by released checkpoints:
+    `llama3` (Llama-3.1+, the reference's headline bench model —
+    `bench/generation/README.md`), `linear`, `dynamic` (NTK), and `yarn`.
+    Everything is computed in numpy at trace time: the tables are static
+    functions of the config, never data.
+
+    `dynamic` note: HF recomputes frequencies per sequence length once it
+    exceeds the original window; with static shapes we evaluate the NTK
+    formula at `max_position_embeddings` (the full cache window), matching HF
+    for sequences that use the extended window.
+    """
+    import math
+
+    import numpy as np
+
+    inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    attn_scale = 1.0
+    s = dict(scaling) if scaling else {}
+    rope_type = s.get("rope_type", s.get("type", "default"))
+    factor = float(s.get("factor", 1.0))
+    if not s or rope_type == "default":
+        pass
+    elif rope_type == "linear":
+        inv_freq = inv_freq / factor
+    elif rope_type == "dynamic":
+        orig = int(s.get("original_max_position_embeddings", max_position_embeddings))
+        seq_len = max(int(max_position_embeddings), orig)
+        base = theta * ((factor * seq_len / orig) - (factor - 1)) ** (
+            head_dim / (head_dim - 2)
+        )
+        inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    elif rope_type == "llama3":
+        low_freq_factor = float(s["low_freq_factor"])
+        high_freq_factor = float(s["high_freq_factor"])
+        old_len = float(s["original_max_position_embeddings"])
+        low_freq_wavelen = old_len / low_freq_factor
+        high_freq_wavelen = old_len / high_freq_factor
+        wavelen = 2.0 * math.pi / inv_freq
+        scaled = np.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+        smooth = (old_len / wavelen - low_freq_factor) / (high_freq_factor - low_freq_factor)
+        smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
+        is_medium = (wavelen >= high_freq_wavelen) & (wavelen <= low_freq_wavelen)
+        inv_freq = np.where(is_medium, smoothed, scaled)
+    elif rope_type == "yarn":
+        orig = float(s.get("original_max_position_embeddings") or max_position_embeddings)
+        beta_fast = float(s.get("beta_fast") or 32.0)
+        beta_slow = float(s.get("beta_slow") or 1.0)
+
+        def mscale(scale, m=1.0):
+            return 0.1 * m * math.log(scale) + 1.0 if scale > 1.0 else 1.0
+
+        attn = s.get("attention_factor")
+        if attn is None:
+            ms, ms_all = s.get("mscale"), s.get("mscale_all_dim")
+            if ms and ms_all:
+                attn = mscale(factor, ms) / mscale(factor, ms_all)
+            else:
+                attn = mscale(factor)
+        attn_scale = float(attn)
+
+        def correction_dim(n_rot):
+            return head_dim * math.log(orig / (n_rot * 2 * math.pi)) / (2 * math.log(theta))
+
+        low = max(math.floor(correction_dim(beta_fast)), 0)
+        high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+        if low == high:
+            high = high + 0.001
+        ramp = np.clip(
+            (np.arange(head_dim // 2, dtype=np.float64) - low) / (high - low), 0.0, 1.0
+        )
+        extrap_factor = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (1.0 - extrap_factor) + inv_freq * extrap_factor
+    else:
+        raise ValueError(f"unsupported rope_scaling type: {rope_type!r}")
+    return jnp.asarray(inv_freq, jnp.float32), attn_scale
+
+
+def _rope(
+    positions: jnp.ndarray,
+    head_dim: int,
+    theta: float,
+    dtype,
+    scaling=None,
+    max_position_embeddings: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """cos/sin tables for the given positions, HF 'half-rotation' layout."""
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    inv_freq, attn_scale = rope_params(head_dim, theta, scaling, max_position_embeddings)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, D/2]
     emb = jnp.concatenate([angles, angles], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (jnp.cos(emb) * attn_scale).astype(dtype), (jnp.sin(emb) * attn_scale).astype(dtype)
 
 
 def _rotate_half(x):
@@ -316,7 +423,10 @@ class LlamaForCausalLM(nnx.Module):
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)  # [1,1] or [B,1]
         positions = pos0 + jnp.arange(T)[None, :]
         positions = jnp.broadcast_to(positions, (B, T))
-        cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
+        cos, sin = _rope(
+            positions, c.head_dim, c.rope_theta, x.dtype,
+            c.rope_scaling, c.max_position_embeddings,
+        )
 
         if cache is None:
             # [1, 1, T, T] causal mask.

@@ -15,7 +15,32 @@ import jax.numpy as jnp
 from jax import lax
 
 
-__all__ = ["qbytes_mm", "qbytes_int_mm"]
+__all__ = ["qbytes_mm", "qbytes_int_mm", "fp8_e4m3_to_float_bittrick"]
+
+# fp8-weight dequant implementation: "convert" uses XLA's native
+# f8e4m3->float convert; "bittrick" decodes the byte with integer VPU ops
+# (exact for all non-NaN codes). Model-level A/B in
+# bench/fp8_bittrick_ab_bench.py decides the default.
+FP8_DECODE = "convert"
+
+
+def fp8_e4m3_to_float_bittrick(w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Exact e4m3fn -> float decode with integer ops (no f8 convert).
+
+    Places the 7 magnitude bits into the f32 exponent/mantissa fields with
+    the exponent re-biased by +120 (so `2^(e-7) * (1+m/8)` comes out directly
+    and no subnormal f32 intermediates appear — the TPU VPU flushes
+    subnormals to zero), ORs the sign bit in, and fixes the 14 e4m3
+    subnormal codes (`e==0`: true value `±m/8 * 2^-6`) with one select.
+    Bit-exact against XLA's convert for all 254 non-NaN codes
+    (tests/ops/test_qbytes_mm.py). NaN codes (0x7F/0xFF) decode to a finite
+    value — quantized weights never contain NaN.
+    """
+    b = lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.uint32)
+    mag = ((b & 0x7F) << 20) + (120 << 23)
+    n = lax.bitcast_convert_type(mag | ((b & 0x80) << 24), jnp.float32)
+    fix = n + n - jnp.where(n < 0, jnp.float32(-(2.0**-6)), jnp.float32(2.0**-6))
+    return jnp.where((b & 0x78) == 0, fix, n).astype(out_dtype)
 
 
 def _dot_last_dim(a: jnp.ndarray, b_t: jnp.ndarray, preferred_element_type):
@@ -66,6 +91,8 @@ def qbytes_mm(
         return qbytes_int_mm(activations, weights, output_scales)
     out_dtype = output_scales.dtype
     activations = activations.astype(out_dtype)
+    if weights.dtype == jnp.float8_e4m3fn and FP8_DECODE == "bittrick":
+        weights = fp8_e4m3_to_float_bittrick(weights, out_dtype)
     out = _dot_last_dim(activations, weights.T.astype(out_dtype), jnp.float32)
     scales = output_scales.T if output_scales.ndim == 2 else output_scales
     return (out * scales.astype(jnp.float32)).astype(out_dtype)
