@@ -124,7 +124,12 @@ def freeze_rope_scaling(rs) -> Optional[Tuple[Tuple[str, Any], ...]]:
         return None
     if isinstance(rs, tuple):
         return rs
-    return tuple(sorted((str(k), v) for k, v in dict(rs).items()))
+    return tuple(
+        sorted(
+            (str(k), tuple(v) if isinstance(v, list) else v)
+            for k, v in dict(rs).items()
+        )
+    )
 
 
 def rope_params(

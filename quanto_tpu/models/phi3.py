@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .llama import KVCache, RMSNorm, _rope, _rotate_half
+from .llama import KVCache, RMSNorm, _rope, _rotate_half, freeze_rope_scaling
 
 
 __all__ = ["Phi3Config", "Phi3ForCausalLM"]
@@ -47,6 +47,14 @@ class Phi3Config:
     partial_rotary_factor: float = 1.0
     sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
+    # HF `rope_scaling` type "longrope" (Phi-3-*-128k checkpoints), stored as
+    # a hashable sorted tuple (short_factor/long_factor as tuples); see
+    # `freeze_rope_scaling`. The short/long table choice follows HF exactly:
+    # long when (max position in the batch) + 1 exceeds
+    # `original_max_position_embeddings` (a traced select, so one compiled
+    # program serves both regimes).
+    rope_scaling: Optional[tuple] = None
+    original_max_position_embeddings: Optional[int] = None
     dtype: Any = jnp.float32
 
     def __post_init__(self):
@@ -60,9 +68,14 @@ class Phi3Config:
     @classmethod
     def from_hf(cls, config, dtype=jnp.bfloat16) -> "Phi3Config":
         get = lambda k, d=None: getattr(config, k, d)
-        if get("rope_scaling") is not None:
-            raise ValueError("Phi-3 longrope/su rope scaling is not supported yet")
+        rs = get("rope_scaling")
+        if rs is not None:
+            rtype = rs.get("rope_type", rs.get("type"))
+            if rtype != "longrope":
+                raise ValueError(f"Phi-3 rope_scaling type {rtype!r} is not supported")
         return cls(
+            rope_scaling=freeze_rope_scaling(rs),
+            original_max_position_embeddings=get("original_max_position_embeddings"),
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,
             intermediate_size=config.intermediate_size,
@@ -83,6 +96,34 @@ def _maybe_deq(x):
     from ..tensor.qarray import QArray
 
     return x.dequantize() if isinstance(x, QArray) else x
+
+
+def _longrope_tables(positions, rotary_dim, c, dtype):
+    """Phi-3 longrope cos/sin (HF `_compute_longrope_parameters` +
+    `dynamic_rope_update`): per-dim frequency rescale by `short_factor` or
+    `long_factor`, chosen by whether the batch's max position + 1 exceeds
+    `original_max_position_embeddings`; cos/sin scaled by
+    sqrt(1 + log(factor)/log(orig)) when the window is extended. The regime
+    choice is a traced `jnp.where` over both (cheap [B,T,D]) tables, matching
+    HF for every sequence length with one compiled program."""
+    import math
+
+    import numpy as np
+
+    s = dict(c.rope_scaling)
+    orig = int(c.original_max_position_embeddings or c.max_position_embeddings)
+    factor = c.max_position_embeddings / orig
+    attn = s.get("attention_factor")
+    if attn is None:
+        attn = math.sqrt(1.0 + math.log(factor) / math.log(orig)) if factor > 1.0 else 1.0
+    pos_freq = c.rope_theta ** (np.arange(0, rotary_dim, 2, dtype=np.float64) / rotary_dim)
+    inv_short = jnp.asarray(1.0 / (np.asarray(s["short_factor"], np.float64) * pos_freq), jnp.float32)
+    inv_long = jnp.asarray(1.0 / (np.asarray(s["long_factor"], np.float64) * pos_freq), jnp.float32)
+    use_long = (jnp.max(positions) + 1) > orig
+    inv_freq = jnp.where(use_long, inv_long, inv_short)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return (jnp.cos(emb) * attn).astype(dtype), (jnp.sin(emb) * attn).astype(dtype)
 
 
 def _apply_partial_rope(x, cos, sin):
@@ -196,7 +237,10 @@ class Phi3ForCausalLM(nnx.Module):
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
         positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
         rotary_dim = int(c.head_dim * c.partial_rotary_factor)
-        cos, sin = _rope(positions, rotary_dim, c.rope_theta, x.dtype)
+        if c.rope_scaling is not None:
+            cos, sin = _longrope_tables(positions, rotary_dim, c, x.dtype)
+        else:
+            cos, sin = _rope(positions, rotary_dim, c.rope_theta, x.dtype)
 
         neg = jnp.finfo(jnp.float32).min
         if cache is None:

@@ -205,6 +205,11 @@ def _synthesize_hf_config(model):
             partial_rotary_factor=c.partial_rotary_factor,
             sliding_window=c.sliding_window,
             tie_word_embeddings=c.tie_word_embeddings,
+            rope_scaling=(
+                {k: list(v) if isinstance(v, tuple) else v for k, v in c.rope_scaling}
+                if c.rope_scaling else None
+            ),
+            original_max_position_embeddings=c.original_max_position_embeddings,
         )
     from .gpt_neox import GPTNeoXForCausalLM
 

@@ -108,3 +108,67 @@ def test_phi3_quantize_save_reload(tmp_path, torch_and_nnx):
     assert "model.layers.0.mlp.gate_up_proj" in qmap
     out, _ = reloaded(ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def _longrope_config(orig=4, maxpos=64):
+    # rotary_dim/2 = 6 per-dim factors (head_dim 12, full rotary)
+    rng = np.random.RandomState(7)
+    short = (1.0 + rng.rand(6) * 0.2).round(3).tolist()
+    long = (1.0 + rng.rand(6) * 6.0).round(3).tolist()
+    return _tiny_hf_config(
+        max_position_embeddings=maxpos,
+        original_max_position_embeddings=orig,
+        rope_scaling={"type": "longrope", "short_factor": short, "long_factor": long},
+    )
+
+
+def test_phi3_longrope_long_regime_matches_hf():
+    """Sequence longer than original_max_position_embeddings -> long_factor
+    tables + sqrt(1 + log(f)/log(orig)) attention scaling (Phi-3-*-128k)."""
+    import torch
+
+    torch_model, model = _load_pair(_longrope_config(orig=4))
+    ids = np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64)  # 8 > 4
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours, _ = model(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_longrope_short_regime_matches_hf():
+    """Sequence within the original window -> short_factor tables (HF picks
+    per actual length; ours is a traced select so one program serves both)."""
+    import torch
+
+    torch_model, model = _load_pair(_longrope_config(orig=16))
+    ids = np.array([[1, 5, 17, 99, 3]], dtype=np.int64)  # 5 <= 16
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours, _ = model(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_longrope_cached_decode_matches_full():
+    _, model = _load_pair(_longrope_config(orig=4))
+    ids = jnp.asarray(np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64))
+    full, _ = model(ids)
+    cache = model.init_kv_cache(1, 16, jnp.float32)
+    logits, cache = model(ids[:, :5], cache, 0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, :5]), rtol=1e-4, atol=1e-5)
+    for t in range(5, 8):
+        step, cache = model(ids[:, t : t + 1], cache, t)
+        np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, t]), rtol=1e-4, atol=1e-5)
+
+
+def test_phi3_longrope_save_reload(tmp_path):
+    from quanto_tpu.models import QuantizedModelForCausalLM
+
+    _, model = _load_pair(_longrope_config(orig=4))
+    qmodel = QuantizedModelForCausalLM.quantize(model, weights="qint8")
+    ids = jnp.asarray(np.array([[1, 5, 17, 99, 3, 42]], dtype=np.int64))
+    ref, _ = qmodel(ids)
+    qmodel.save_pretrained(str(tmp_path))
+    reloaded = QuantizedModelForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert reloaded.config.rope_scaling == qmodel._wrapped.config.rope_scaling
+    out, _ = reloaded(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
