@@ -76,6 +76,8 @@ class Gemma2Config:
     @classmethod
     def from_hf(cls, config, dtype=jnp.bfloat16) -> "Gemma2Config":
         get = lambda k, d=None: getattr(config, k, d)
+        if get("rope_scaling") is not None:
+            raise ValueError("Gemma-2 rope_scaling is not supported")
         return cls(
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,

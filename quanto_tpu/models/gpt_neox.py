@@ -57,6 +57,8 @@ class GPTNeoXConfig:
     @classmethod
     def from_hf(cls, config, dtype=jnp.bfloat16) -> "GPTNeoXConfig":
         get = lambda k, d=None: getattr(config, k, d)
+        if get("rope_scaling") is not None:
+            raise ValueError("GPT-NeoX rope_scaling is not supported")
         return cls(
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,

@@ -147,7 +147,10 @@ class MixtralForCausalLM(nnx.Module):
         x = self.model.embed_tokens(input_ids)
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
         positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
-        cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
+        cos, sin = _rope(
+            positions, c.head_dim, c.rope_theta, x.dtype,
+            c.rope_scaling, c.max_position_embeddings,
+        )
         if cache is None:
             mask = jnp.where(
                 jnp.tril(jnp.ones((T, T), bool)), 0.0, jnp.finfo(jnp.float32).min

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from .llama import KVCache, LlamaMLP, RMSNorm, _apply_rope, _rope
+from .llama import KVCache, LlamaMLP, RMSNorm, _apply_rope, _rope, freeze_rope_scaling
 
 
 __all__ = ["Qwen3Config", "Qwen3ForCausalLM", "Qwen3MoeConfig", "Qwen3MoeForCausalLM"]
@@ -43,6 +43,9 @@ class Qwen3Config:
     max_position_embeddings: int = 32768
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # HF rope_scaling (Qwen3 long-context checkpoints use yarn); same
+    # hashable-tuple storage and rope_params semantics as the llama family.
+    rope_scaling: Optional[tuple] = None
     sliding_window: Optional[int] = None
     layer_types: Optional[Tuple[str, ...]] = None
     tie_word_embeddings: bool = False
@@ -73,6 +76,7 @@ class Qwen3Config:
             max_position_embeddings=get("max_position_embeddings", 32768),
             rms_norm_eps=get("rms_norm_eps", 1e-6),
             rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=freeze_rope_scaling(get("rope_scaling")),
             sliding_window=get("sliding_window"),
             layer_types=tuple(get("layer_types")) if get("layer_types") else None,
             tie_word_embeddings=get("tie_word_embeddings", False),
@@ -239,7 +243,10 @@ class Qwen3ForCausalLM(nnx.Module):
         x = self.model.embed_tokens(input_ids)
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
         positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
-        cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
+        cos, sin = _rope(
+            positions, c.head_dim, c.rope_theta, x.dtype,
+            c.rope_scaling, c.max_position_embeddings,
+        )
 
         neg = jnp.finfo(jnp.float32).min
         if cache is None:

@@ -55,6 +55,8 @@ class Starcoder2Config:
     @classmethod
     def from_hf(cls, config, dtype=jnp.bfloat16) -> "Starcoder2Config":
         get = lambda k, d=None: getattr(config, k, d)
+        if get("rope_scaling") is not None:
+            raise ValueError("StarCoder2 rope_scaling is not supported")
         return cls(
             vocab_size=config.vocab_size,
             hidden_size=config.hidden_size,

@@ -258,6 +258,7 @@ def _synthesize_hf_config(model):
             head_dim=c.head_dim,
             max_position_embeddings=c.max_position_embeddings,
             rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
+            rope_scaling=dict(c.rope_scaling) if c.rope_scaling else None,
             tie_word_embeddings=c.tie_word_embeddings,
             hidden_act=c.hidden_act,
         )

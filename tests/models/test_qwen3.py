@@ -110,3 +110,28 @@ def test_qwen3_quantize_save_reload(tmp_path, torch_and_nnx):
     assert "model.layers.0.self_attn.q_proj" in qmap
     out, _ = reloaded(ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_qwen3_yarn_rope_matches_hf():
+    """Qwen3 long-context checkpoints ship yarn rope_scaling; logits must
+    match HF with it active."""
+    import torch
+    from transformers import Qwen3ForCausalLM as HFQwen3
+
+    hf_config = _tiny_hf_config(
+        max_position_embeddings=128,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32},
+    )
+    torch.manual_seed(0)
+    torch_model = HFQwen3(hf_config).eval()
+    tensors = {k: jnp.asarray(v.numpy()) for k, v in torch_model.state_dict().items()}
+    model = Qwen3ForCausalLM(Qwen3Config.from_hf(hf_config, dtype=jnp.float32))
+    assert model.config.rope_scaling is not None
+    report = load_hf_state_dict(model, tensors)
+    assert report["missing"] == []
+    ids = np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours, _ = model(jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-4)
