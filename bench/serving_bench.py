@@ -1,0 +1,93 @@
+"""Continuous-batching engine throughput on the real chip.
+
+Measures the 1B llama int4 engine draining a mixed-length batch:
+- stepwise decode (one device call + host sync per token), vs
+- burst decode (`run_to_completion(burst=k)`: k scanned steps per call).
+
+The per-step host round-trip is pure overhead the scan amortizes; the
+reference has no serving layer to compare against (single-request eager
+generation only), so the baseline is our own stepwise mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+import quanto_tpu as qt
+from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
+from quanto_tpu.models.serving import BatchedEngine
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--new-tokens", type=int, default=128)
+    p.add_argument("--burst", type=int, default=16)
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        config = LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+            max_position_embeddings=2048, dtype=jnp.bfloat16,
+        )
+        prompt_lens = [512, 384, 448, 256, 512, 320, 192, 448][: args.batch]
+        max_len = 768
+    else:
+        config = LlamaConfig(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, dtype=jnp.float32,
+        )
+        prompt_lens = [16, 24, 8, 12][: args.batch]
+        max_len = 64
+
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    qt.freeze(model)
+
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
+
+    def run(burst):
+        engine = BatchedEngine(
+            model, max_batch=len(prompts), max_len=max_len, prefill_chunk=64
+        )
+        t0 = time.time()
+        rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+        prefill_t = time.time() - t0
+        # warm the decode program(s)
+        engine.run_to_completion(burst=burst)
+        warm_tokens = sum(len(engine.result(r)) for r in rids)
+        # timed drain on fresh requests
+        t0 = time.time()
+        rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+        mid = time.time()
+        engine.run_to_completion(burst=burst)
+        decode_t = time.time() - mid
+        total_t = time.time() - t0
+        n_tokens = sum(len(engine.result(r)) for r in rids)
+        tag = f"burst={burst}" if burst else "stepwise"
+        print(
+            f"{tag:12s}: {n_tokens} tokens, decode {decode_t:.2f}s "
+            f"({n_tokens/decode_t:.1f} tok/s), prefill+decode {total_t:.2f}s "
+            f"({n_tokens/total_t:.1f} tok/s e2e), first-run prefill {prefill_t:.2f}s",
+            flush=True,
+        )
+        return n_tokens / decode_t
+
+    step_tps = run(None)
+    burst_tps = run(args.burst)
+    print(f"burst speedup over stepwise decode: {burst_tps/step_tps:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

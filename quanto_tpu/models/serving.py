@@ -20,6 +20,7 @@ Greedy sampling; plug a different `sample_fn` for temperature/top-k.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -133,11 +134,33 @@ class BatchedEngine:
             nxt = self._sample(logits[:, -1], key)
             return nxt.astype(jnp.int32), cache
 
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _burst(state, toks, cache, pos, key, n):
+            # n decode steps for every slot in ONE device call (lax.scan):
+            # amortizes the host round-trip that dominates per-step decode on
+            # remote/tunneled devices. The key-split sequence matches step()'s
+            # host-side splits exactly, so burst tokens == n step() calls for
+            # any sampler.
+            m = nnx.merge(graphdef, state)
+
+            def body(carry, _):
+                tok, pos, cache, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = m(tok, cache, pos)
+                nxt = self._sample(logits[:, -1], sub).astype(jnp.int32)[:, None]
+                return (nxt, pos + 1, cache, key), nxt[:, 0]
+
+            (_, _, cache, key), toks_out = jax.lax.scan(
+                body, (toks, pos, cache, key), None, length=n
+            )
+            return jnp.transpose(toks_out), cache, key  # [B, n]
+
         self._prefill_fn = _prefill
         self._prefill_at_fn = _prefill_at
         self._prefill_chunk_fn = _prefill_chunk_fn
         self._scatter_fn = _scatter_slot
         self._step_fn = _step
+        self._burst_fn = _burst
         self._slot_cache_template = None
 
     def _prefill_into(self, slot_cache, prompt, start_pos: int = 0):
@@ -195,11 +218,11 @@ class BatchedEngine:
 
         return jax.tree_util.tree_map(put, cache)
 
-    def _run(self, fn, *args):
+    def _run(self, fn, *args, **kwargs):
         if self._mesh is None:
-            return fn(*args)
+            return fn(*args, **kwargs)
         with self._mesh:
-            return fn(*args)
+            return fn(*args, **kwargs)
 
     # --- request lifecycle ----------------------------------------------------
 
@@ -278,15 +301,63 @@ class BatchedEngine:
         # future prefill overwrite makes irrelevant.
         return out
 
+    def decode_burst(self, n: int) -> Dict[int, List[int]]:
+        """Decode `n` tokens for every active slot in ONE device call.
+
+        Token-identical to n `step()` calls (same sampler key-split
+        sequence); the point is amortizing the per-step host round-trip,
+        which dominates single-step decode on remote/tunneled devices. A
+        slot that finishes (eos / max_new_tokens) mid-burst keeps only its
+        tokens up to the finish; the burst's extra KV writes for that slot
+        land past its live region (or in the paged engine's scratch page)
+        and are overwritten by the next prefill of the slot.
+        """
+        if not self._by_slot or n <= 0:
+            return {}
+        toks = jnp.asarray(self._last_tok[:, None])
+        pos = jnp.asarray(self._pos)
+        out_toks, self._cache, self._key = self._run(
+            self._burst_fn, self._state, toks, self._cache, pos, self._key, n=n
+        )
+        out_toks = np.asarray(jax.device_get(out_toks))  # [B, n]
+        out: Dict[int, List[int]] = {}
+        for slot, req in list(self._by_slot.items()):
+            taken: List[int] = []
+            for j in range(n):
+                tok = int(out_toks[slot, j])
+                req.tokens.append(tok)
+                taken.append(tok)
+                self._pos[slot] += 1
+                self._last_tok[slot] = tok
+                self._maybe_finish(req, tok)
+                if req.done:
+                    break
+            out[req.rid] = taken
+        return out
+
     def result(self, rid: int) -> List[int]:
         return self._requests[rid].tokens
 
     def is_done(self, rid: int) -> bool:
         return self._requests[rid].done
 
-    def run_to_completion(self) -> None:
+    def run_to_completion(self, burst: Optional[int] = None) -> None:
+        """Drain all active requests. With `burst` set (e.g. 16), decodes in
+        fixed-size scanned bursts — one device call per `burst` tokens,
+        bounded by the shortest active request's remaining budget so no
+        sequence overshoots its max_new_tokens."""
         while self._by_slot:
-            self.step()
+            if burst is None:
+                self.step()
+                continue
+            n = min(
+                burst,
+                min(r.max_new_tokens - len(r.tokens) for r in self._by_slot.values()),
+            )
+            if n <= 1:
+                self.step()
+            else:
+                self.decode_burst(n)
 
 
 class PagedEngine(BatchedEngine):

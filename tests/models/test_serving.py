@@ -136,3 +136,86 @@ def test_paged_engine_chunked_prefill_with_prefix_sharing(model):
     assert engine.result(r1) == refs[0]
     assert engine.result(r2) == refs[1]
     assert engine.prefix_hits > 0  # suffix-only prefill exercised chunking at offset
+
+
+def test_decode_burst_matches_stepwise(model):
+    """run_to_completion(burst=k) must be token-identical to step-by-step
+    (same sampler key-split sequence inside the scanned burst)."""
+    rng = np.random.RandomState(4)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9, 3)]
+    n_new = 7  # not a multiple of the burst size
+
+    ref_engine = BatchedEngine(model, max_batch=4, max_len=32)
+    rids = [ref_engine.add(p, max_new_tokens=n_new) for p in prompts]
+    ref_engine.run_to_completion()
+    refs = [ref_engine.result(r) for r in rids]
+
+    engine = BatchedEngine(model, max_batch=4, max_len=32)
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion(burst=4)
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref
+
+
+def test_decode_burst_stochastic_sampler_matches_stepwise(model):
+    from quanto_tpu.models.sampling import make_sampler
+
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, 128, size=6).tolist()
+    n_new = 6
+
+    def build():
+        return BatchedEngine(
+            model, max_batch=2, max_len=32,
+            sample_fn=make_sampler(temperature=0.8, top_k=8),
+        )
+
+    e1 = build()
+    r1 = e1.add(prompt, max_new_tokens=n_new)
+    e1.run_to_completion()
+    e2 = build()
+    r2 = e2.add(prompt, max_new_tokens=n_new)
+    e2.run_to_completion(burst=4)
+    assert e1.result(r1) == e2.result(r2)
+
+
+def test_decode_burst_eos_mid_burst(model):
+    """A slot hitting eos inside a burst keeps only tokens up to eos and its
+    slot frees; other slots continue."""
+    rng = np.random.RandomState(6)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 7)]
+    n_new = 8
+    probe = BatchedEngine(model, max_batch=2, max_len=32)
+    rids = [probe.add(p, max_new_tokens=n_new) for p in prompts]
+    probe.run_to_completion()
+    seq = probe.result(rids[0])
+    eos = seq[2]  # third generated token of request 0 becomes the eos
+
+    def run(burst):
+        e = BatchedEngine(model, max_batch=2, max_len=32, eos_token_id=eos)
+        rs = [e.add(p, max_new_tokens=n_new) for p in prompts]
+        e.run_to_completion(burst=burst)
+        return [e.result(r) for r in rs], e
+
+    refs, _ = run(None)
+    outs, engine = run(8)
+    assert outs == refs
+    assert len(engine._free) == 2  # both slots released
+
+
+def test_paged_engine_decode_burst(model):
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(7)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9)]
+    n_new = 6
+    ref = PagedEngine(model, max_batch=2, max_len=32, n_pages=17, page_size=4)
+    rids = [ref.add(p, max_new_tokens=n_new) for p in prompts]
+    ref.run_to_completion()
+    refs = [ref.result(r) for r in rids]
+
+    e = PagedEngine(model, max_batch=2, max_len=32, n_pages=17, page_size=4)
+    rids = [e.add(p, max_new_tokens=n_new) for p in prompts]
+    e.run_to_completion(burst=4)
+    for rid, r in zip(rids, refs):
+        assert e.result(rid) == r
