@@ -166,12 +166,23 @@ def rope_params(
     elif rope_type == "linear":
         inv_freq = inv_freq / factor
     elif rope_type == "dynamic":
-        orig = int(s.get("original_max_position_embeddings", max_position_embeddings))
-        seq_len = max(int(max_position_embeddings), orig)
-        base = theta * ((factor * seq_len / orig) - (factor - 1)) ** (
-            head_dim / (head_dim - 2)
-        )
-        inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+        # HF `_compute_dynamic_ntk_parameters` treats config
+        # max_position_embeddings as the pretraining window and rescales the
+        # base only when the RUNTIME sequence outgrows it; within the window
+        # the frequencies are the defaults. Static shapes can't track runtime
+        # length, so we match HF's within-window behavior exactly (identity)
+        # unless the caller opts into a fixed evaluation length via a
+        # "seq_len" entry in the scaling dict (our static extension: the NTK
+        # formula evaluated once at that length).
+        seq_len = int(s.get("seq_len", 0))
+        orig = int(max_position_embeddings)
+        if seq_len > orig > 0:
+            base = theta * ((factor * seq_len / orig) - (factor - 1)) ** (
+                head_dim / (head_dim - 2)
+            )
+            inv_freq = 1.0 / (
+                base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+            )
     elif rope_type == "llama3":
         low_freq_factor = float(s["low_freq_factor"])
         high_freq_factor = float(s["high_freq_factor"])

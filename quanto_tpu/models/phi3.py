@@ -50,9 +50,9 @@ class Phi3Config:
     # HF `rope_scaling` type "longrope" (Phi-3-*-128k checkpoints), stored as
     # a hashable sorted tuple (short_factor/long_factor as tuples); see
     # `freeze_rope_scaling`. The short/long table choice follows HF exactly:
-    # long when (max position in the batch) + 1 exceeds
-    # `original_max_position_embeddings` (a traced select, so one compiled
-    # program serves both regimes).
+    # long when a request's (max position + 1) exceeds
+    # `original_max_position_embeddings`, selected PER BATCH ROW (a traced
+    # select, so one compiled program serves both regimes).
     rope_scaling: Optional[tuple] = None
     original_max_position_embeddings: Optional[int] = None
     dtype: Any = jnp.float32
@@ -101,8 +101,9 @@ def _maybe_deq(x):
 def _longrope_tables(positions, rotary_dim, c, dtype):
     """Phi-3 longrope cos/sin (HF `_compute_longrope_parameters` +
     `dynamic_rope_update`): per-dim frequency rescale by `short_factor` or
-    `long_factor`, chosen by whether the batch's max position + 1 exceeds
-    `original_max_position_embeddings`; cos/sin scaled by
+    `long_factor`, chosen per batch row by whether that row's
+    max position + 1 exceeds `original_max_position_embeddings`; cos/sin
+    scaled by
     sqrt(1 + log(factor)/log(orig)) when the window is extended. The regime
     choice is a traced `jnp.where` over both (cheap [B,T,D]) tables, matching
     HF for every sequence length with one compiled program."""
@@ -119,10 +120,14 @@ def _longrope_tables(positions, rotary_dim, c, dtype):
     pos_freq = c.rope_theta ** (np.arange(0, rotary_dim, 2, dtype=np.float64) / rotary_dim)
     inv_short = jnp.asarray(1.0 / (np.asarray(s["short_factor"], np.float64) * pos_freq), jnp.float32)
     inv_long = jnp.asarray(1.0 / (np.asarray(s["long_factor"], np.float64) * pos_freq), jnp.float32)
-    use_long = (jnp.max(positions) + 1) > orig
-    inv_freq = jnp.where(use_long, inv_long, inv_short)
-    angles = positions.astype(jnp.float32)[..., None] * inv_freq
-    emb = jnp.concatenate([angles, angles], axis=-1)
+    # Regime select PER BATCH ROW (each row is one request's positions):
+    # in batched serving the [B] position vector mixes requests at different
+    # lengths, and a global max would leak one slot's regime into another's.
+    use_long = ((jnp.max(positions, axis=-1) + 1) > orig)[:, None, None]
+    pos_f = positions.astype(jnp.float32)[..., None]
+    emb_s = jnp.concatenate([pos_f * inv_short, pos_f * inv_short], axis=-1)
+    emb_l = jnp.concatenate([pos_f * inv_long, pos_f * inv_long], axis=-1)
+    emb = jnp.where(use_long, emb_l, emb_s)
     return (jnp.cos(emb) * attn).astype(dtype), (jnp.sin(emb) * attn).astype(dtype)
 
 

@@ -93,7 +93,10 @@ class StackedLlama:
             x = x * jnp.asarray(c.hidden_size**0.5, x.dtype)
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
         positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
-        cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
+        cos, sin = _rope(
+            positions, c.head_dim, c.rope_theta, x.dtype,
+            c.rope_scaling, c.max_position_embeddings,
+        )
 
         if cache is None:
             mask = jnp.where(

@@ -273,6 +273,12 @@ class BatchedEngine:
             req.done = True
             self._free.append(req.slot)
             del self._by_slot[req.slot]
+            # Clear the freed slot's host-side position: stale positions feed
+            # the batched decode's [B] position vector, and models with
+            # position-dependent regime logic (e.g. Phi-3 longrope) must not
+            # see another request's old length.
+            self._pos[req.slot] = 0
+            self._last_tok[req.slot] = 0
 
     @property
     def num_active(self) -> int:
@@ -343,9 +349,11 @@ class BatchedEngine:
 
     def run_to_completion(self, burst: Optional[int] = None) -> None:
         """Drain all active requests. With `burst` set (e.g. 16), decodes in
-        fixed-size scanned bursts — one device call per `burst` tokens,
-        bounded by the shortest active request's remaining budget so no
-        sequence overshoots its max_new_tokens."""
+        scanned bursts — one device call per burst — bounded by the shortest
+        active request's remaining budget so no sequence overshoots its
+        max_new_tokens. Burst sizes are bucketed to powers of two (each
+        distinct size is a separate compiled program; bucketing caps the
+        program count at log2(burst) instead of one per tail length)."""
         while self._by_slot:
             if burst is None:
                 self.step()
@@ -354,6 +362,7 @@ class BatchedEngine:
                 burst,
                 min(r.max_new_tokens - len(r.tokens) for r in self._by_slot.values()),
             )
+            n = 1 << (n.bit_length() - 1) if n > 0 else 0  # floor to power of two
             if n <= 1:
                 self.step()
             else:
@@ -396,6 +405,7 @@ class PagedEngine(BatchedEngine):
         eos_token_id: Optional[int] = None,
         sample_fn: Optional[Callable] = None,
         prefix_sharing: bool = True,
+        prefill_chunk: Optional[int] = None,
     ):
         # Paged attributes must exist before super().__init__ runs the
         # overridden _make_cache (the dense pool is never materialized —
@@ -406,6 +416,7 @@ class PagedEngine(BatchedEngine):
         super().__init__(
             model, max_batch=max_batch, max_len=max_len, kv_quant=kv_quant,
             eos_token_id=eos_token_id, sample_fn=sample_fn,
+            prefill_chunk=prefill_chunk,
         )
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
         self._free_pages = list(range(1, n_pages))  # page 0 reserved

@@ -55,7 +55,8 @@ _CHUNK = 128  # lanes per unpacked MXU contraction
 # A/B override for the in-kernel dot dtype (None = auto: bf16 inputs dot in
 # bf16, f32 inputs in f32). Benchmarks flip this to isolate MXU-rate effects
 # within one session (tunnel sessions have additive timing offsets, so only
-# same-session comparisons are trustworthy — RESULTS.md).
+# same-session comparisons are trustworthy — RESULTS.md). TRACE-TIME knob:
+# already-compiled programs keep the value they were traced with.
 _FORCE_DOT_DTYPE = None
 
 

@@ -19,8 +19,12 @@ __all__ = ["qbytes_mm", "qbytes_int_mm", "fp8_e4m3_to_float_bittrick"]
 
 # fp8-weight dequant implementation: "convert" uses XLA's native
 # f8e4m3->float convert; "bittrick" decodes the byte with integer VPU ops
-# (exact for all non-NaN codes). Model-level A/B in
-# bench/fp8_bittrick_ab_bench.py decides the default.
+# (exact for all non-NaN codes). Model-level A/B
+# (bench/fp8_bittrick_ab_bench.py) showed bittrick LOSES in full programs
+# (it displaces the convert-in-reduce fusion), so "convert" is the default.
+# TRACE-TIME knob: jitted programs bake the value in at trace time; flipping
+# it later does NOT affect already-compiled programs (retrace — e.g. a fresh
+# make_decode_fn — to pick up a change).
 FP8_DECODE = "convert"
 
 
@@ -33,7 +37,7 @@ def fp8_e4m3_to_float_bittrick(w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.nd
     subnormals to zero), ORs the sign bit in, and fixes the 14 e4m3
     subnormal codes (`e==0`: true value `±m/8 * 2^-6`) with one select.
     Bit-exact against XLA's convert for all 254 non-NaN codes
-    (tests/ops/test_qbytes_mm.py). NaN codes (0x7F/0xFF) decode to a finite
+    (tests/ops/test_fp8_decode.py). NaN codes (0x7F/0xFF) decode to a finite
     value — quantized weights never contain NaN.
     """
     b = lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.uint32)

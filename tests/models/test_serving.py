@@ -104,12 +104,14 @@ def test_engine_chunked_prefill_matches_unchunked(model):
 
 def test_engine_chunked_prefill_near_capacity(model):
     """A final partial chunk whose padding would spill past max_len falls
-    back to the variable-shape program instead of corrupting the cache."""
+    back to the variable-shape program instead of corrupting the cache.
+    Here: len 13, chunk 8, max_len 14 -> second chunk (5 tokens at offset 8)
+    would pad to 8+8=16 > 14, so it must take the fallback branch."""
     rng = np.random.RandomState(2)
-    prompt = rng.randint(0, 128, size=13).tolist()  # 13+3=16=max_len; pad->16>13+?
-    ref = _ref_generate(model, prompt, 3)
-    engine = BatchedEngine(model, max_batch=1, max_len=16, prefill_chunk=8)
-    rid = engine.add(prompt, max_new_tokens=3)
+    prompt = rng.randint(0, 128, size=13).tolist()
+    ref = _ref_generate(model, prompt, 1)
+    engine = BatchedEngine(model, max_batch=1, max_len=14, prefill_chunk=8)
+    rid = engine.add(prompt, max_new_tokens=1)
     engine.run_to_completion()
     assert engine.result(rid) == ref
 
@@ -126,9 +128,8 @@ def test_paged_engine_chunked_prefill_with_prefix_sharing(model):
 
     engine = PagedEngine(
         model, max_batch=2, max_len=32, n_pages=17, page_size=4,
-        prefix_sharing=True,
+        prefix_sharing=True, prefill_chunk=4,
     )
-    engine.prefill_chunk = 4
     r1 = engine.add(p1, max_new_tokens=n_new)
     engine.run_to_completion()
     r2 = engine.add(p2, max_new_tokens=n_new)
