@@ -29,6 +29,7 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--burst", type=int, default=16)
+    p.add_argument("--stepwise", action="store_true", help="also run the stepwise baseline")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
@@ -57,36 +58,48 @@ def main():
     rng = np.random.RandomState(0)
     prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
 
-    def run(burst):
+    def run(burst, batch_prefill=False):
         engine = BatchedEngine(
             model, max_batch=len(prompts), max_len=max_len, prefill_chunk=64
         )
+
+        def admit():
+            if batch_prefill:
+                return engine.add_batch(prompts, max_new_tokens=args.new_tokens)
+            return [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+
         t0 = time.time()
-        rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+        rids = admit()
         prefill_t = time.time() - t0
         # warm the decode program(s)
         engine.run_to_completion(burst=burst)
         warm_tokens = sum(len(engine.result(r)) for r in rids)
         # timed drain on fresh requests
         t0 = time.time()
-        rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+        rids = admit()
         mid = time.time()
         engine.run_to_completion(burst=burst)
         decode_t = time.time() - mid
         total_t = time.time() - t0
         n_tokens = sum(len(engine.result(r)) for r in rids)
-        tag = f"burst={burst}" if burst else "stepwise"
+        tag = ("batched-prefill " if batch_prefill else "") + (
+            f"burst={burst}" if burst else "stepwise"
+        )
         print(
-            f"{tag:12s}: {n_tokens} tokens, decode {decode_t:.2f}s "
-            f"({n_tokens/decode_t:.1f} tok/s), prefill+decode {total_t:.2f}s "
-            f"({n_tokens/total_t:.1f} tok/s e2e), first-run prefill {prefill_t:.2f}s",
+            f"{tag:28s}: {n_tokens} tokens, decode {decode_t:.2f}s "
+            f"({n_tokens/decode_t:.1f} tok/s), warm prefill {mid-t0:.2f}s, "
+            f"e2e {n_tokens/total_t:.1f} tok/s, first-run prefill {prefill_t:.2f}s",
             flush=True,
         )
-        return n_tokens / decode_t
+        return n_tokens / decode_t, n_tokens / total_t
 
-    step_tps = run(None)
-    burst_tps = run(args.burst)
-    print(f"burst speedup over stepwise decode: {burst_tps/step_tps:.2f}x")
+    if args.stepwise:
+        step_tps, _ = run(None)
+    burst_tps, e2e_serial = run(args.burst)
+    _, e2e_batched = run(args.burst, batch_prefill=True)
+    if args.stepwise:
+        print(f"burst speedup over stepwise decode: {burst_tps/step_tps:.2f}x")
+    print(f"batched-prefill e2e speedup over serial prefill: {e2e_batched/e2e_serial:.2f}x")
 
 
 if __name__ == "__main__":

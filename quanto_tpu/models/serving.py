@@ -134,6 +134,20 @@ class BatchedEngine:
             nxt = self._sample(logits[:, -1], key)
             return nxt.astype(jnp.int32), cache
 
+        @jax.jit
+        def _prefill_batch_chunk(state, ids, cache, pos, last_idx):
+            # One fixed-size prefill chunk for EVERY slot through the pooled
+            # cache: ids [B, C], per-slot absolute positions `pos` [B] (the
+            # same per-slot-position machinery decode uses, just T=C).
+            # `last_idx` [B] selects each row's last REAL token inside the
+            # chunk (clamped for rows whose last token is elsewhere — the
+            # host keeps a row's logits only for the chunk that contains it).
+            m = nnx.merge(graphdef, state)
+            logits, cache = m(ids, cache, pos)
+            idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
+            last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+            return last, cache
+
         @functools.partial(jax.jit, static_argnames=("n",))
         def _burst(state, toks, cache, pos, key, n):
             # n decode steps for every slot in ONE device call (lax.scan):
@@ -161,6 +175,7 @@ class BatchedEngine:
         self._scatter_fn = _scatter_slot
         self._step_fn = _step
         self._burst_fn = _burst
+        self._prefill_batch_chunk_fn = _prefill_batch_chunk
         self._slot_cache_template = None
 
     def _prefill_into(self, slot_cache, prompt, start_pos: int = 0):
@@ -263,6 +278,136 @@ class BatchedEngine:
         self._by_slot[slot] = req
         self._maybe_finish(req, first_tok)
         return rid
+
+    def add_batch(self, prompts, max_new_tokens=64) -> List[int]:
+        """Admit several requests at once, prefilling them TOGETHER.
+
+        Each fixed-size chunk runs as ONE pooled-cache program over all
+        slots (`_prefill_batch_chunk`), so k prompts cost
+        ceil(max_len(prompt)/chunk) device calls instead of
+        sum(ceil(len_i/chunk)) — the prefill analogue of burst decode.
+        Requires `prefill_chunk`; prompts whose padded length would spill
+        past max_len (and any overflow beyond the free slots) fall back to
+        serial `add()`. Rows of slots NOT being prefilled (mid-generation or
+        free) run with their current position: their chunk writes land at
+        positions >= their next decode position, which decode overwrites
+        before attending (the same garbage-safety argument as chunk
+        padding). `max_new_tokens`: scalar or per-prompt list.
+        """
+        C = self.prefill_chunk
+        budgets = (
+            list(max_new_tokens)
+            if isinstance(max_new_tokens, (list, tuple))
+            else [max_new_tokens] * len(prompts)
+        )
+        if len(budgets) != len(prompts):
+            raise ValueError("max_new_tokens list must match prompts")
+        if C is None:
+            return [self.add(p, m) for p, m in zip(prompts, budgets)]
+        # An active slot whose next position exceeds max_len - C cannot take
+        # this call's garbage chunk write (the clamped write would land on
+        # its REAL earlier entries) — serial-prefill everything instead.
+        if any(int(self._pos[s]) > self.max_len - C for s in self._by_slot):
+            return [self.add(p, m) for p, m in zip(prompts, budgets)]
+
+        candidates = []
+        for p, m in zip(prompts, budgets):
+            p = np.asarray(p, np.int32).reshape(-1)
+            if len(p) + m > self.max_len:
+                raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+            candidates.append((p, m, -(-len(p) // C)))
+
+        # Participation gates: (a) the padded prompt fits the cache; (b) a
+        # row that finishes before the batch's last chunk needs room for its
+        # remaining garbage chunks at [len(p), len(p)+C) — i.e.
+        # len(p) <= max_len - C — otherwise the clamped write would land on
+        # its own real prefix. Demoting a row can lower max_chunks, which can
+        # re-qualify others, so iterate to a fixed point.
+        batched, serial = [], []
+        for p, m, nc in candidates:
+            if nc * C <= self.max_len and len(batched) < len(self._free):
+                batched.append((p, m, nc))
+            else:
+                serial.append((p, m))
+        while True:
+            if not batched:
+                break
+            max_chunks = max(nc for _, _, nc in batched)
+            bad = [
+                (p, m, nc) for p, m, nc in batched
+                if nc < max_chunks and len(p) > self.max_len - C
+            ]
+            if not bad:
+                break
+            bad_ids = {id(p) for p, _, _ in bad}
+            serial += [(p, m) for p, m, _ in bad]
+            batched = [t for t in batched if id(t[0]) not in bad_ids]
+        batched = [(p, m) for p, m, _ in batched]
+
+        rids_batched: List[int] = []
+        if batched:
+            slots = [self._free.pop() for _ in batched]
+            max_chunks = max(-(-len(p) // C) for p, _ in batched)
+            B = self.max_batch
+            ids = np.zeros((B, max_chunks * C), np.int32)
+            for (p, _), slot in zip(batched, slots):
+                ids[slot, : len(p)] = p
+            last_logits = [None] * len(batched)
+            by_slot_row = {slot: i for i, slot in enumerate(slots)}
+            pending = []  # (device last-logits [B,V], slots it is final for)
+            for j in range(max_chunks):
+                pos = np.array(
+                    [min(int(self._pos[s]), self.max_len - C) for s in range(B)],
+                    np.int32,
+                )
+                last_idx = np.full((B,), -1, np.int32)
+                for (p, _), slot in zip(batched, slots):
+                    if j * C < len(p):  # this row still has real tokens
+                        pos[slot] = j * C
+                        li = len(p) - 1 - j * C
+                        if 0 <= li < C:
+                            last_idx[slot] = li
+                    else:
+                        # Row finished its prompt in an earlier chunk: park
+                        # its garbage writes just past the prompt (decode
+                        # overwrites position q before attending). The
+                        # participation gate guarantees len(p) <= max_len - C
+                        # for such rows.
+                        pos[slot] = len(p)
+                chunk = ids[:, j * C : (j + 1) * C]
+                last, self._cache = self._run(
+                    self._prefill_batch_chunk_fn, self._state,
+                    jnp.asarray(chunk), self._cache, jnp.asarray(pos),
+                    jnp.asarray(last_idx),
+                )
+                keep = [s for s in slots if last_idx[s] >= 0]
+                if keep:
+                    # Defer the host fetch: a device_get here would add a
+                    # blocking round-trip per chunk.
+                    pending.append((last, keep))
+            for last, keep in pending:
+                last_host = np.asarray(jax.device_get(last))
+                for s in keep:
+                    last_logits[by_slot_row[s]] = last_host[s]
+            for i, ((p, m), slot) in enumerate(zip(batched, slots)):
+                self._key, sub = jax.random.split(self._key)
+                first_tok = int(
+                    jax.device_get(
+                        self._sample(jnp.asarray(last_logits[i][None, :]), sub)[0]
+                    )
+                )
+                self._pos[slot] = len(p)
+                self._last_tok[slot] = first_tok
+                rid = self._next_rid
+                self._next_rid += 1
+                req = _Request(rid, slot, len(p), m, [first_tok])
+                self._requests[rid] = req
+                self._by_slot[slot] = req
+                self._maybe_finish(req, first_tok)
+                rids_batched.append(rid)
+
+        rids_serial = [self.add(p, m) for p, m in serial]
+        return rids_batched + rids_serial
 
     def _maybe_finish(self, req: _Request, tok: int) -> None:
         if req.done:
@@ -475,6 +620,17 @@ class PagedEngine(BatchedEngine):
                 self._page_refs.pop(page, None)
                 self._prefix_lru.remove(key)
                 self._free_pages.append(page)
+
+    def add_batch(self, prompts, max_new_tokens=64) -> List[int]:
+        # Batched pooled-cache prefill is not wired for the paged table path
+        # (per-row chunk writes through page tables + prefix sharing need
+        # their own validation); serial add() preserves correctness.
+        budgets = (
+            list(max_new_tokens)
+            if isinstance(max_new_tokens, (list, tuple))
+            else [max_new_tokens] * len(prompts)
+        )
+        return [self.add(p, m) for p, m in zip(prompts, budgets)]
 
     def add(self, prompt_ids, max_new_tokens: int = 64) -> int:
         if not self._free:

@@ -220,3 +220,59 @@ def test_paged_engine_decode_burst(model):
     e.run_to_completion(burst=4)
     for rid, r in zip(rids, refs):
         assert e.result(rid) == r
+
+
+def test_add_batch_matches_serial_adds(model):
+    """Batched chunked prefill must produce the same tokens as serial add()
+    for every request (same logits rows, same sampler key order)."""
+    rng = np.random.RandomState(8)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 11, 3, 8)]
+    n_new = 5
+
+    ref = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    rids = [ref.add(p, max_new_tokens=n_new) for p in prompts]
+    ref.run_to_completion()
+    refs = [ref.result(r) for r in rids]
+
+    e = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    rids = e.add_batch(prompts, max_new_tokens=n_new)
+    assert len(rids) == len(prompts)
+    e.run_to_completion(burst=4)
+    for rid, r in zip(rids, refs):
+        assert e.result(rid) == r
+
+
+def test_add_batch_with_active_decodes(model):
+    """add_batch while other slots are mid-generation must not corrupt their
+    caches (garbage chunk rows land at >= their next decode position)."""
+    rng = np.random.RandomState(9)
+    p_active = rng.randint(0, 128, size=6).tolist()
+    p_new = [rng.randint(0, 128, size=L).tolist() for L in (4, 7)]
+    n_new = 6
+
+    ref = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    ra = ref.add(p_active, max_new_tokens=n_new)
+    for _ in range(2):
+        ref.step()
+    rn = [ref.add(p, max_new_tokens=n_new) for p in p_new]
+    ref.run_to_completion()
+    expected = [ref.result(r) for r in (ra, *rn)]
+
+    e = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    ea = e.add(p_active, max_new_tokens=n_new)
+    for _ in range(2):
+        e.step()
+    en = e.add_batch(p_new, max_new_tokens=n_new)
+    e.run_to_completion()
+    got = [e.result(r) for r in (ea, *en)]
+    assert got == expected
+
+
+def test_add_batch_overflow_falls_back_to_serial(model):
+    """More prompts than free slots: the overflow errors like serial add."""
+    rng = np.random.RandomState(10)
+    prompts = [rng.randint(0, 128, size=4).tolist() for _ in range(5)]
+    e = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no free slots"):
+        e.add_batch(prompts, max_new_tokens=4)
