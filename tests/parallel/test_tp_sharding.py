@@ -503,3 +503,35 @@ def test_neox_and_falcon_tp_rules():
     with mesh:
         out, _ = falcon(ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_tp_sharded_engine_burst_and_batched_prefill():
+    """Burst decode + batched chunked prefill under a dp x tp mesh: the new
+    scanned-decode and pooled-chunk programs must compile with collectives
+    and match the unsharded engine token-for-token."""
+    from quanto_tpu.models.serving import BatchedEngine
+
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+
+    prompts = [[1, 5, 17, 8, 3], [9, 2, 44]]
+    ref_engine = BatchedEngine(model, max_batch=2, max_len=32, prefill_chunk=4)
+    rids = ref_engine.add_batch(prompts, max_new_tokens=6)
+    ref_engine.run_to_completion(burst=4)
+    refs = [ref_engine.result(r) for r in rids]
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    engine = BatchedEngine(
+        model, max_batch=2, max_len=32, mesh=mesh, prefill_chunk=4
+    )
+    rids = engine.add_batch(prompts, max_new_tokens=6)
+    engine.run_to_completion(burst=4)
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref
