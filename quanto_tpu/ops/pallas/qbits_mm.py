@@ -125,6 +125,89 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
+def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_size):
+    """Prefill-shaped (large-M) int4 variant: M/N/K-tiled grid instead of the
+    decode kernel's VMEM-resident x. The split-half layout packs position j
+    with position j + K/2, so one packed K-tile touches TWO x tiles (the
+    low-half and high-half slices arrive as separate refs); the output block
+    accumulates across the K grid dimension. Scale/shift refs carry ALL G
+    group rows (they are tiny; Mosaic rejects sub-8-row blocks) and the
+    per-chunk row is selected dynamically from the k program id.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    BM = x_lo_ref.shape[0]
+    BN = p_ref.shape[0]
+    bkp = p_ref.shape[1]
+    G = s_ref.shape[0]
+    dot_dtype = _FORCE_DOT_DTYPE or (
+        jnp.bfloat16 if x_lo_ref.dtype == jnp.bfloat16 else jnp.float32
+    )
+    x_lo = x_lo_ref[:].astype(dot_dtype)
+    x_hi = x_hi_ref[:].astype(dot_dtype)
+    acc = jnp.zeros((BM, BN), jnp.float32)
+    for c in range(bkp // _CHUNK):
+        b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
+        # Global group row of this chunk within the low half; the high half's
+        # groups occupy rows G/2.. (groups never straddle halves by gating).
+        row_lo = (k * bkp + c * _CHUNK) // group_size
+        for part, x in ((0, x_lo), (1, x_hi)):
+            raw = (b32 >> (4 * part)) & 0xF if part else b32 & 0xF
+            codes = raw.astype(dot_dtype)
+            xg = x[:, c * _CHUNK : (c + 1) * _CHUNK]
+            pd = jax.lax.dot_general(
+                xg, codes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            row = row_lo + part * (G // 2)
+            s = s_ref[pl.ds(row, 1), :]
+            z = z_ref[pl.ds(row, 1), :]
+            acc += pd * s - xsum * z
+    out_ref[:] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "interpret")
+)
+def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, interpret=False):
+    M, K = x.shape
+    N, Kpacked = packed.shape
+    G = scale_t.shape[0]
+    half_blocks = Kpacked // bkp  # block offset of the high half in x
+    kernel = functools.partial(_prefill_kernel, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn, Kpacked // bkp),
+        in_specs=[
+            # x low-half and high-half K-tiles (same array, two views)
+            pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bm, bkp), lambda i, j, k: (i, k + half_blocks), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bn, bkp), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * Kpacked + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
+            transcendentals=0,
+        ),
+    )(x, x, packed, scale_t, shift_t)
+
+
 def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     """W4A8: int8 activations x int4 codes on the integer MXU.
 
@@ -239,12 +322,13 @@ def qbits_int8_matmul_kernel_call(
     return out.reshape(*lead, N).astype(float_dtype)
 
 
-# The kernel keeps the whole x [M, K] in VMEM, which bounds M. Measured on
-# v5e the fused kernel also beats the XLA unpack+matmul fallback at
-# prefill-shaped M (1.46x at M=64, 1.41x at 256, 1.31x at 512 — same-session
-# ratios), so the gate is the VMEM limit, not a decode/prefill split; beyond
-# it the XLA dequant fallback takes over (x alone would exceed the VMEM
-# budget without K-tiling).
+# The decode kernel keeps the whole x [M, K] in VMEM, which bounds M.
+# Measured on v5e it beats the XLA unpack+matmul fallback at every M up to
+# the VMEM limit (1.46x at M=64, 1.41x at 256, 1.31x at 512 — same-session
+# ratios) and also beats the M/N/K-tiled prefill kernel at M=512 (38.9 vs
+# 35.6 TF/s same-session), so the crossover to the tiled variant sits AT the
+# VMEM limit; beyond it `_prefill_call` takes over (int4 only; other
+# configs fall back to the XLA dequant path).
 _MAX_M = 512
 
 
@@ -321,8 +405,31 @@ def qbits_matmul_kernel_call(
     for d in lead:
         M *= d
     if M > _MAX_M:
-        # Prefill-shaped: compute-bound, XLA dequant matmul is the right tool.
-        return None
+        # Prefill-shaped: the M/N/K-tiled variant (x streamed in tiles
+        # instead of VMEM-resident).
+        if bits != 4 or gs == K:
+            return None
+        # Measured on v5e (K=4096, N=14336): the largest K-tile wins until
+        # VMEM pressure bites — bkp=2048 is best at M<=1024 (62.7 vs 54.8
+        # TF/s at M=1024), bkp=1024 at larger M (89.3 vs 78.4 at M=2048).
+        bkp_cands = (2048, 1024, 512, 256, 128) if M <= 1024 else (1024, 512, 256, 128)
+        bkp = next((c for c in bkp_cands if Kpacked % c == 0), None)
+        bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
+        if bkp is None or bn is None:
+            return None
+        bm = 256
+        x2 = x.reshape(M, K)
+        m_pad = -M % bm
+        if m_pad:
+            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+        out = _prefill_call(
+            x2, packed,
+            scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
+            group_size=gs, bm=bm, bn=bn, bkp=bkp, interpret=interpret,
+        )
+        if m_pad:
+            out = out[:M]
+        return out.reshape(*lead, N).astype(x.dtype)
     x2 = x.reshape(M, K)
     m_pad = -M % 8
     if m_pad:

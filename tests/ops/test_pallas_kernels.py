@@ -192,3 +192,28 @@ def test_fp8_kernel_gating():
     assert qbytes_fp8_matmul_kernel_call(x, w_int8, s, interpret=True) is None
     w_f8_bad = jnp.zeros((100, 128), jnp.float8_e4m3fn)
     assert qbytes_fp8_matmul_kernel_call(x, w_f8_bad, jnp.ones((100, 1)), interpret=True) is None
+
+
+@pytest.mark.parametrize("m", [513, 768])
+def test_qbits_prefill_kernel_matches_oracle(m):
+    """M beyond the decode kernel's VMEM gate routes to the M/N/K-tiled
+    prefill kernel (incl. a non-multiple-of-bm M that needs padding)."""
+    qw = random_qweight((256, 512), qt.qint4, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
+    x = random_tensor((m, 512), key=jax.random.PRNGKey(3))
+    out = qbits_matmul_kernel_call(
+        x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128, interpret=True
+    )
+    assert out is not None
+    ref = x @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_qbits_prefill_kernel_gates():
+    # int2 and per-tensor scales stay on the XLA fallback at prefill M
+    qw2 = random_qweight((256, 512), qt.qint2, group_size=128)
+    tpu2 = WeightQBitsTpuArray.from_generic(qw2)
+    x = random_tensor((600, 512), key=jax.random.PRNGKey(4))
+    assert qbits_matmul_kernel_call(
+        x, tpu2._packed, tpu2._scale_t, tpu2._shift_t, 2, 128, interpret=True
+    ) is None
