@@ -144,11 +144,17 @@ def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_s
     BN = p_ref.shape[0]
     bkp = p_ref.shape[1]
     G = s_ref.shape[0]
-    dot_dtype = _FORCE_DOT_DTYPE or (
-        jnp.bfloat16 if x_lo_ref.dtype == jnp.bfloat16 else jnp.float32
-    )
-    x_lo = x_lo_ref[:].astype(dot_dtype)
-    x_hi = x_hi_ref[:].astype(dot_dtype)
+    integer = x_lo_ref.dtype == jnp.int8  # W4A8: int8 x int4 on the int MXU
+    if integer:
+        dot_dtype, acc_dtype = jnp.int8, jnp.int32
+        x_lo, x_hi = x_lo_ref[:], x_hi_ref[:]
+    else:
+        dot_dtype = _FORCE_DOT_DTYPE or (
+            jnp.bfloat16 if x_lo_ref.dtype == jnp.bfloat16 else jnp.float32
+        )
+        acc_dtype = jnp.float32
+        x_lo = x_lo_ref[:].astype(dot_dtype)
+        x_hi = x_hi_ref[:].astype(dot_dtype)
     acc = jnp.zeros((BM, BN), jnp.float32)
     for c in range(bkp // _CHUNK):
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
@@ -162,13 +168,13 @@ def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_s
             pd = jax.lax.dot_general(
                 xg, codes,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dtype,
             )
-            xsum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+            xsum = jnp.sum(xg.astype(acc_dtype), axis=1, keepdims=True)
             row = row_lo + part * (G // 2)
             s = s_ref[pl.ds(row, 1), :]
             z = z_ref[pl.ds(row, 1), :]
-            acc += pd * s - xsum * z
+            acc += pd.astype(jnp.float32) * s - xsum.astype(jnp.float32) * z
     out_ref[:] += acc
 
 
@@ -206,6 +212,33 @@ def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, inter
             transcendentals=0,
         ),
     )(x, x, packed, scale_t, shift_t)
+
+
+def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
+    """Shared M>_MAX_M dispatch to `_prefill_call` (float or int8 x).
+    Returns the [M, N] float32 output or None when outside the envelope."""
+    M = x2.shape[0]
+    N, Kpacked = packed.shape
+    if bits != 4 or gs == K:
+        return None
+    # Measured on v5e (K=4096, N=14336): the largest K-tile wins until
+    # VMEM pressure bites — bkp=2048 is best at M<=1024 (62.7 vs 54.8
+    # TF/s at M=1024), bkp=1024 at larger M (89.3 vs 78.4 at M=2048).
+    bkp_cands = (2048, 1024, 512, 256, 128) if M <= 1024 else (1024, 512, 256, 128)
+    bkp = next((c for c in bkp_cands if Kpacked % c == 0), None)
+    bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
+    if bkp is None or bn is None:
+        return None
+    bm = 256
+    m_pad = -M % bm
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    out = _prefill_call(
+        x2, packed,
+        scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
+        group_size=gs, bm=bm, bn=bn, bkp=bkp, interpret=interpret,
+    )
+    return out[:M] if m_pad else out
 
 
 def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
@@ -306,7 +339,15 @@ def qbits_int8_matmul_kernel_call(
     for d in lead:
         M *= d
     if M > _MAX_M:
-        return None
+        # W4A8 prefill: same tiled kernel, int8 x int4 on the integer MXU.
+        out = _prefill_route(
+            x_data.reshape(M, K), packed, scale_t, shift_t,
+            bits=bits, gs=gs, K=K, interpret=interpret,
+        )
+        if out is None:
+            return None
+        out = out * jnp.asarray(x_scale, jnp.float32).reshape(())
+        return out.reshape(*lead, N).astype(float_dtype)
     x2 = x_data.reshape(M, K)
     m_pad = -M % 8
     if m_pad:
@@ -407,28 +448,12 @@ def qbits_matmul_kernel_call(
     if M > _MAX_M:
         # Prefill-shaped: the M/N/K-tiled variant (x streamed in tiles
         # instead of VMEM-resident).
-        if bits != 4 or gs == K:
-            return None
-        # Measured on v5e (K=4096, N=14336): the largest K-tile wins until
-        # VMEM pressure bites — bkp=2048 is best at M<=1024 (62.7 vs 54.8
-        # TF/s at M=1024), bkp=1024 at larger M (89.3 vs 78.4 at M=2048).
-        bkp_cands = (2048, 1024, 512, 256, 128) if M <= 1024 else (1024, 512, 256, 128)
-        bkp = next((c for c in bkp_cands if Kpacked % c == 0), None)
-        bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
-        if bkp is None or bn is None:
-            return None
-        bm = 256
-        x2 = x.reshape(M, K)
-        m_pad = -M % bm
-        if m_pad:
-            x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
-        out = _prefill_call(
-            x2, packed,
-            scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
-            group_size=gs, bm=bm, bn=bn, bkp=bkp, interpret=interpret,
+        out = _prefill_route(
+            x.reshape(M, K), packed, scale_t, shift_t,
+            bits=bits, gs=gs, K=K, interpret=interpret,
         )
-        if m_pad:
-            out = out[:M]
+        if out is None:
+            return None
         return out.reshape(*lead, N).astype(x.dtype)
     x2 = x.reshape(M, K)
     m_pad = -M % 8

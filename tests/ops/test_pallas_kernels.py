@@ -217,3 +217,30 @@ def test_qbits_prefill_kernel_gates():
     assert qbits_matmul_kernel_call(
         x, tpu2._packed, tpu2._scale_t, tpu2._shift_t, 2, 128, interpret=True
     ) is None
+
+
+def test_w4a8_prefill_kernel_matches_oracle():
+    """int8 activations at M>512 route through the tiled prefill kernel on
+    the integer MXU (exact int8xint4 dots, so tolerance stays tight)."""
+    from quanto_tpu.ops.pallas.qbits_mm import qbits_int8_matmul_kernel_call
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray, quantize_weight
+    from quanto_tpu.tensor.activations import quantize_activation
+
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.randn(256, 512), jnp.float32)
+    x = jnp.asarray(rng.randn(600, 512), jnp.float32)  # M=600: pads to 768
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128).optimize()
+    assert isinstance(qw, WeightQBitsTpuArray)
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+
+    out = qbits_int8_matmul_kernel_call(
+        qx.data, qx.scale, qw._packed, qw._scale_t, qw._shift_t,
+        4, 128, jnp.float32, interpret=True,
+    )
+    assert out is not None
+    ref = qx.dequantize() @ qw.dequantize().T
+    # f32 accumulation order differs across K tiles vs the one-shot oracle
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-4)
