@@ -30,6 +30,11 @@ def main():
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--burst", type=int, default=16)
     p.add_argument("--stepwise", action="store_true", help="also run the stepwise baseline")
+    p.add_argument(
+        "--batched-chunk", type=int, default=128,
+        help="prefill chunk for the batched-prefill run (B*chunk > 512 engages "
+        "the tiled prefill kernel; serial runs keep chunk=64)",
+    )
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
@@ -58,9 +63,9 @@ def main():
     rng = np.random.RandomState(0)
     prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
 
-    def run(burst, batch_prefill=False):
+    def run(burst, batch_prefill=False, chunk=64):
         engine = BatchedEngine(
-            model, max_batch=len(prompts), max_len=max_len, prefill_chunk=64
+            model, max_batch=len(prompts), max_len=max_len, prefill_chunk=chunk
         )
 
         def admit():
@@ -82,7 +87,7 @@ def main():
         decode_t = time.time() - mid
         total_t = time.time() - t0
         n_tokens = sum(len(engine.result(r)) for r in rids)
-        tag = ("batched-prefill " if batch_prefill else "") + (
+        tag = (f"batched-prefill(C={chunk}) " if batch_prefill else "") + (
             f"burst={burst}" if burst else "stepwise"
         )
         print(
@@ -96,7 +101,7 @@ def main():
     if args.stepwise:
         step_tps, _ = run(None)
     burst_tps, e2e_serial = run(args.burst)
-    _, e2e_batched = run(args.burst, batch_prefill=True)
+    _, e2e_batched = run(args.burst, batch_prefill=True, chunk=args.batched_chunk)
     if args.stepwise:
         print(f"burst speedup over stepwise decode: {burst_tps/step_tps:.2f}x")
     print(f"batched-prefill e2e speedup over serial prefill: {e2e_batched/e2e_serial:.2f}x")
