@@ -8,6 +8,7 @@ matmul (the compute-ideal reference a quantized prefill should approach).
 
 from __future__ import annotations
 
+import argparse
 import time
 
 import jax
@@ -42,33 +43,41 @@ def timed(fn, x, iters=20):
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bits", type=int, default=4, choices=(2, 4))
+    args = p.parse_args()
+    bits = args.bits
+    vals = 8 // bits
+    mid = float(2 ** (bits - 1))
     key = jax.random.PRNGKey(0)
     K, N, gs = 4096, 14336, 128
     G = K // gs
-    codes = jax.random.randint(key, (N, K), 0, 16, jnp.uint8)
-    packed = pack_split_half(codes, bits=4)
+    codes = jax.random.randint(key, (N, K), 0, 2**bits, jnp.uint8)
+    packed = pack_split_half(codes, bits=bits)
     scale_t = (jnp.abs(jax.random.normal(key, (G, N))) / 15.0).astype(jnp.float32)
-    shift_t = (scale_t * 8.0).astype(jnp.float32)
+    shift_t = (scale_t * mid).astype(jnp.float32)
     scale = scale_t.T.reshape(N, G, 1)
     w_bf16 = jax.random.normal(key, (N, K), jnp.bfloat16)
 
     def xla_fallback(x):
-        c = unpack_split_half(packed, 4, K).astype(jnp.float32).reshape(N, G, gs)
-        w = ((c - 8.0) * scale).reshape(N, K).astype(jnp.bfloat16)
+        c = unpack_split_half(packed, bits, K).astype(jnp.float32).reshape(N, G, gs)
+        w = ((c - mid) * scale).reshape(N, K).astype(jnp.bfloat16)
         return jnp.dot(x, w.T, preferred_element_type=jnp.float32)
 
     def bf16(x):
         return jnp.dot(x, w_bf16.T, preferred_element_type=jnp.float32)
 
     def decode_kernel(x):
-        return _call(x, packed, scale_t, shift_t, bits=4, group_size=gs)
+        return _call(x, packed, scale_t, shift_t, bits=bits, group_size=gs)
 
     for M in (512, 1024, 2048):
         bkp = 2048 if M <= 1024 else 1024  # matches qbits_matmul_kernel_call routing
+        bkp = min(bkp, K * bits // 8)
 
         def prefill_kernel(x, bkp=bkp):
             return _prefill_call(
-                x, packed, scale_t, shift_t, group_size=gs, bm=256, bn=1024, bkp=bkp
+                x, packed, scale_t, shift_t,
+                group_size=gs, bm=256, bn=1024, bkp=bkp, vals=vals,
             )
 
         x = jax.random.normal(key, (M, K), jnp.bfloat16)

@@ -87,6 +87,18 @@ def unpack_split_half(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)[:, :k]
 
 
+def _unpack_part(b32, part, bits, vals, mask):
+    """Extract nibble/crumb `part` from u8-widened int32 registers. The top
+    part needs no mask: after `>> (bits * (vals-1))` on a value < 256 nothing
+    sits above bit bits-1 (verified numerics-identical in
+    bench/qbits_decode_ablation_bench.py)."""
+    if part == 0:
+        return b32 & mask
+    if part == vals - 1:
+        return b32 >> (bits * part)
+    return (b32 >> (bits * part)) & mask
+
+
 def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     M = x_ref.shape[0]
     BN = p_ref.shape[0]
@@ -110,7 +122,7 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
         # from the same int32 registers.
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
         for part in range(vals):
-            raw = (b32 >> (bits * part)) & mask if part else b32 & mask
+            raw = _unpack_part(b32, part, bits, vals, mask)
             codes = raw.astype(dot_dtype)
             k0 = part * (K // vals) + c * _CHUNK
             g = k0 // group_size
@@ -125,44 +137,47 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
-def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_size):
-    """Prefill-shaped (large-M) int4 variant: M/N/K-tiled grid instead of the
+def _prefill_kernel(*refs, group_size, vals):
+    """Prefill-shaped (large-M) variant: M/N/K-tiled grid instead of the
     decode kernel's VMEM-resident x. The split-half layout packs position j
-    with position j + K/2, so one packed K-tile touches TWO x tiles (the
-    low-half and high-half slices arrive as separate refs); the output block
-    accumulates across the K grid dimension. Scale/shift refs carry ALL G
-    group rows (they are tiny; Mosaic rejects sub-8-row blocks) and the
+    with positions j + p*(K/vals), so one packed K-tile touches `vals` x
+    tiles (2 for int4, 4 for int2 — each arrives as its own ref); the output
+    block accumulates across the K grid dimension. Scale/shift refs carry ALL
+    G group rows (they are tiny; Mosaic rejects sub-8-row blocks) and the
     per-chunk row is selected dynamically from the k program id.
     """
+    x_refs = refs[:vals]
+    p_ref, s_ref, z_ref, out_ref = refs[vals:]
+    bits = 8 // vals
+    mask = 2**bits - 1
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    BM = x_lo_ref.shape[0]
+    BM = x_refs[0].shape[0]
     BN = p_ref.shape[0]
     bkp = p_ref.shape[1]
     G = s_ref.shape[0]
-    integer = x_lo_ref.dtype == jnp.int8  # W4A8: int8 x int4 on the int MXU
+    integer = x_refs[0].dtype == jnp.int8  # W4A8: int8 x int4/int2 on the int MXU
     if integer:
         dot_dtype, acc_dtype = jnp.int8, jnp.int32
-        x_lo, x_hi = x_lo_ref[:], x_hi_ref[:]
+        xs = [r[:] for r in x_refs]
     else:
         dot_dtype = _FORCE_DOT_DTYPE or (
-            jnp.bfloat16 if x_lo_ref.dtype == jnp.bfloat16 else jnp.float32
+            jnp.bfloat16 if x_refs[0].dtype == jnp.bfloat16 else jnp.float32
         )
         acc_dtype = jnp.float32
-        x_lo = x_lo_ref[:].astype(dot_dtype)
-        x_hi = x_hi_ref[:].astype(dot_dtype)
+        xs = [r[:].astype(dot_dtype) for r in x_refs]
     acc = jnp.zeros((BM, BN), jnp.float32)
     for c in range(bkp // _CHUNK):
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
-        # Global group row of this chunk within the low half; the high half's
-        # groups occupy rows G/2.. (groups never straddle halves by gating).
-        row_lo = (k * bkp + c * _CHUNK) // group_size
-        for part, x in ((0, x_lo), (1, x_hi)):
-            raw = (b32 >> (4 * part)) & 0xF if part else b32 & 0xF
+        # Global group row of this chunk within part 0; part p's groups
+        # occupy rows p*G/vals.. (groups never straddle parts by gating).
+        row0 = (k * bkp + c * _CHUNK) // group_size
+        for part, x in enumerate(xs):
+            raw = _unpack_part(b32, part, bits, vals, mask)
             codes = raw.astype(dot_dtype)
             xg = x[:, c * _CHUNK : (c + 1) * _CHUNK]
             pd = jax.lax.dot_general(
@@ -171,7 +186,7 @@ def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_s
                 preferred_element_type=acc_dtype,
             )
             xsum = jnp.sum(xg.astype(acc_dtype), axis=1, keepdims=True)
-            row = row_lo + part * (G // 2)
+            row = row0 + part * (G // vals)
             s = s_ref[pl.ds(row, 1), :]
             z = z_ref[pl.ds(row, 1), :]
             acc += pd.astype(jnp.float32) * s - xsum.astype(jnp.float32) * z
@@ -179,23 +194,27 @@ def _prefill_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, z_ref, out_ref, *, group_s
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "interpret")
+    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "vals", "interpret")
 )
-def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, interpret=False):
+def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    half_blocks = Kpacked // bkp  # block offset of the high half in x
-    kernel = functools.partial(_prefill_kernel, group_size=group_size)
+    part_blocks = Kpacked // bkp  # block offset between parts in x
+    kernel = functools.partial(_prefill_kernel, group_size=group_size, vals=vals)
+    # Part p's x K-tiles (same array, `vals` views offset by p * K/vals).
+    x_specs = [
+        pl.BlockSpec(
+            (bm, bkp),
+            lambda i, j, k, p=p: (i, k + p * part_blocks),
+            memory_space=pltpu.VMEM,
+        )
+        for p in range(vals)
+    ]
     return pl.pallas_call(
         kernel,
         grid=(M // bm, N // bn, Kpacked // bkp),
-        in_specs=[
-            # x low-half and high-half K-tiles (same array, two views)
-            pl.BlockSpec((bm, bkp), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bm, bkp), lambda i, j, k: (i, k + half_blocks), memory_space=pltpu.VMEM
-            ),
+        in_specs=x_specs + [
             pl.BlockSpec((bn, bkp), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
@@ -211,7 +230,7 @@ def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, inter
             bytes_accessed=N * Kpacked + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
             transcendentals=0,
         ),
-    )(x, x, packed, scale_t, shift_t)
+    )(*([x] * vals), packed, scale_t, shift_t)
 
 
 def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
@@ -219,7 +238,13 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     Returns the [M, N] float32 output or None when outside the envelope."""
     M = x2.shape[0]
     N, Kpacked = packed.shape
-    if bits != 4 or gs == K:
+    if gs == K:
+        return None  # per-tensor/per-axis: G rows too few for a VMEM block
+    if bits == 2 and M > 1024:
+        # Measured on v5e (K=4096, N=14336, same-session): int2 wins at
+        # M<=1024 (47.0 vs 41.6 TF/s) but LOSES at M=2048 (75.4 vs 85.1) —
+        # at large M the matmul is MXU-bound and the fallback's one-time
+        # unpack amortizes, while the kernel's 4-part VPU unpack does not.
         return None
     # Measured on v5e (K=4096, N=14336): the largest K-tile wins until
     # VMEM pressure bites — bkp=2048 is best at M<=1024 (62.7 vs 54.8
@@ -236,7 +261,7 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     out = _prefill_call(
         x2, packed,
         scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
-        group_size=gs, bm=bm, bn=bn, bkp=bkp, interpret=interpret,
+        group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=8 // bits, interpret=interpret,
     )
     return out[:M] if m_pad else out
 
@@ -262,7 +287,7 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     for part in range(vals):
         for c in range(nchunks):
             b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
-            raw = (b32 >> (bits * part)) & mask if part else b32 & mask
+            raw = _unpack_part(b32, part, bits, vals, mask)
             codes = raw.astype(jnp.int8)  # 0..15 fits int8 exactly
             k0 = part * (K // vals) + c * _CHUNK
             g = k0 // group_size
@@ -368,8 +393,8 @@ def qbits_int8_matmul_kernel_call(
 # the VMEM limit (1.46x at M=64, 1.41x at 256, 1.31x at 512 — same-session
 # ratios) and also beats the M/N/K-tiled prefill kernel at M=512 (38.9 vs
 # 35.6 TF/s same-session), so the crossover to the tiled variant sits AT the
-# VMEM limit; beyond it `_prefill_call` takes over (int4 only; other
-# configs fall back to the XLA dequant path).
+# VMEM limit; beyond it `_prefill_call` takes over (int4 and int2, float or
+# int8 x; per-axis/per-tensor scales fall back to the XLA dequant path).
 _MAX_M = 512
 
 

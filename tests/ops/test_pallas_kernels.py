@@ -194,15 +194,17 @@ def test_fp8_kernel_gating():
     assert qbytes_fp8_matmul_kernel_call(x, w_f8_bad, jnp.ones((100, 1)), interpret=True) is None
 
 
+@pytest.mark.parametrize("bits", [4, 2])
 @pytest.mark.parametrize("m", [513, 768])
-def test_qbits_prefill_kernel_matches_oracle(m):
+def test_qbits_prefill_kernel_matches_oracle(m, bits):
     """M beyond the decode kernel's VMEM gate routes to the M/N/K-tiled
-    prefill kernel (incl. a non-multiple-of-bm M that needs padding)."""
-    qw = random_qweight((256, 512), qt.qint4, group_size=128)
+    prefill kernel (incl. a non-multiple-of-bm M that needs padding).
+    int2 exercises the 4-part x-view split."""
+    qw = random_qweight((256, 512), qt.qtypes[f"qint{bits}"], group_size=128)
     tpu = WeightQBitsTpuArray.from_generic(qw)
     x = random_tensor((m, 512), key=jax.random.PRNGKey(3))
     out = qbits_matmul_kernel_call(
-        x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128, interpret=True
+        x, tpu._packed, tpu._scale_t, tpu._shift_t, bits, 128, interpret=True
     )
     assert out is not None
     ref = x @ qw.dequantize().T
@@ -210,35 +212,37 @@ def test_qbits_prefill_kernel_matches_oracle(m):
 
 
 def test_qbits_prefill_kernel_gates():
-    # int2 and per-tensor scales stay on the XLA fallback at prefill M
-    qw2 = random_qweight((256, 512), qt.qint2, group_size=128)
-    tpu2 = WeightQBitsTpuArray.from_generic(qw2)
+    # per-axis (group_size=None) scales stay on the XLA fallback at prefill M
+    qw = random_qweight((256, 512), qt.qint4, group_size=None)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
     x = random_tensor((600, 512), key=jax.random.PRNGKey(4))
     assert qbits_matmul_kernel_call(
-        x, tpu2._packed, tpu2._scale_t, tpu2._shift_t, 2, 128, interpret=True
+        x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, None, interpret=True
     ) is None
 
 
-def test_w4a8_prefill_kernel_matches_oracle():
+@pytest.mark.parametrize("bits", [4, 2])
+def test_w4a8_prefill_kernel_matches_oracle(bits):
     """int8 activations at M>512 route through the tiled prefill kernel on
     the integer MXU (exact int8xint4 dots, so tolerance stays tight)."""
     from quanto_tpu.ops.pallas.qbits_mm import qbits_int8_matmul_kernel_call
     from quanto_tpu.tensor.optimizers import MaxOptimizer
-    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.qtype import qint8
     from quanto_tpu.tensor.weights import WeightQBitsTpuArray, quantize_weight
     from quanto_tpu.tensor.activations import quantize_activation
 
+    qtype = qt.qtypes[f"qint{bits}"]
     rng = np.random.RandomState(1)
     w = jnp.asarray(rng.randn(256, 512), jnp.float32)
     x = jnp.asarray(rng.randn(600, 512), jnp.float32)  # M=600: pads to 768
-    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
-    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128).optimize()
+    scale, shift = MaxOptimizer()(w, qtype, axis=0, group_size=128)
+    qw = quantize_weight(w, qtype, 0, scale, shift=shift, group_size=128).optimize()
     assert isinstance(qw, WeightQBitsTpuArray)
     qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
 
     out = qbits_int8_matmul_kernel_call(
         qx.data, qx.scale, qw._packed, qw._scale_t, qw._shift_t,
-        4, 128, jnp.float32, interpret=True,
+        bits, 128, jnp.float32, interpret=True,
     )
     assert out is not None
     ref = qx.dequantize() @ qw.dequantize().T
