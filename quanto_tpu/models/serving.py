@@ -40,6 +40,9 @@ class _Request:
     max_new_tokens: int
     tokens: List[int]
     done: bool = False
+    # Original prompt ids — kept only by engines that may need to recompute
+    # the sequence (PagedEngine preemption); None in the dense engine.
+    prompt: Optional[np.ndarray] = None
 
 
 class BatchedEngine:
@@ -499,7 +502,12 @@ class BatchedEngine:
         max_new_tokens. Burst sizes are bucketed to powers of two (each
         distinct size is a separate compiled program; bucketing caps the
         program count at log2(burst) instead of one per tail length)."""
-        while self._by_slot:
+        while self._has_work():
+            if not self._by_slot:
+                # Only preempted requests remain (PagedEngine): step() will
+                # readmit them (or raise if the pool can never fit one).
+                self.step()
+                continue
             if burst is None:
                 self.step()
                 continue
@@ -513,15 +521,32 @@ class BatchedEngine:
             else:
                 self.decode_burst(n)
 
+    def _has_work(self) -> bool:
+        return bool(self._by_slot)
+
 
 class PagedEngine(BatchedEngine):
     """Continuous batching over a PAGED KV cache (vLLM-style page pool).
 
     HBM capacity is `n_pages * page_size` tokens shared by all slots instead
     of `max_batch * max_len` preallocated per slot — short sequences no
-    longer reserve worst-case cache. Pages are reserved at `add()` for
-    `prompt + max_new_tokens` (on-demand growth: round 2); page 0 is scratch
-    (never allocated) so unassigned table entries scatter harmlessly.
+    longer reserve worst-case cache. With `reserve="prompt"` (default) only
+    the prompt's pages are allocated at `add()` and decode pages are grown
+    ON DEMAND as positions cross page boundaries (vLLM semantics: admission
+    oversubscribes the pool against worst-case decode); `reserve="full"`
+    pre-reserves `prompt + max_new_tokens` so admitted requests can never
+    stall. Page 0 is scratch (never allocated) so unassigned table entries
+    scatter harmlessly.
+
+    When on-demand growth exhausts the pool (after evicting cold prefix
+    pages), the YOUNGEST active request is preempted — its pages are
+    released and it is transparently recomputed from `prompt + tokens so
+    far` once capacity frees (vLLM's recompute policy; `preemptions`
+    counts them). Recompute is numerically exact — with greedy/deterministic
+    sampling a preempted request's tokens are identical to an unpreempted
+    run (stochastic samplers stay correctly distributed but see a shifted
+    key sequence); its prompt prefix can even be restored from
+    still-registered prefix pages without recomputation.
 
     Prefill writes straight through the request's page-table row (no
     post-prefill scatter copy — the row slice IS the slot's cache view).
@@ -551,7 +576,11 @@ class PagedEngine(BatchedEngine):
         sample_fn: Optional[Callable] = None,
         prefix_sharing: bool = True,
         prefill_chunk: Optional[int] = None,
+        reserve: str = "prompt",
     ):
+        if reserve not in ("prompt", "full"):
+            raise ValueError('reserve must be "prompt" or "full"')
+        self.reserve = reserve
         # Paged attributes must exist before super().__init__ runs the
         # overridden _make_cache (the dense pool is never materialized —
         # that preallocation would defeat the paged cache's capacity point).
@@ -573,6 +602,8 @@ class PagedEngine(BatchedEngine):
         self._prefix_lru: List[bytes] = []  # oldest first
         self.prefix_hits = 0  # shared pages reused (stats)
         self.prefix_tokens_saved = 0  # prompt tokens not recomputed
+        self._pending: List[_Request] = []  # preempted, awaiting readmission
+        self.preemptions = 0  # requests preempted under pool pressure (stats)
 
     def _make_cache(self, kv_quant):
         from ..tensor.paged_kv import init_paged_kv_cache
@@ -639,8 +670,29 @@ class PagedEngine(BatchedEngine):
         total = len(prompt) + max_new_tokens
         if total > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        reserve_tokens = total if self.reserve == "full" else len(prompt)
+        slot, last_logits = self._admit(prompt, reserve_tokens)
+
+        self._key, sub = jax.random.split(self._key)
+        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
+        self._pos[slot] = len(prompt)
+        self._last_tok[slot] = first_tok
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, slot, len(prompt), max_new_tokens, [first_tok], prompt=prompt)
+        self._requests[rid] = req
+        self._by_slot[slot] = req
+        self._maybe_finish(req, first_tok)
+        return rid
+
+    def _admit(self, prompt: np.ndarray, reserve_tokens: int):
+        """Map shared prefix pages, allocate pages covering the first
+        `reserve_tokens` positions, and prefill the un-shared suffix of
+        `prompt` through the slot's table row. Returns (slot, last-token
+        logits). Shared by fresh admission and preemption recompute (where
+        `prompt` is the original prompt + tokens generated so far)."""
         ps = self.page_size
-        n_total = (total + ps - 1) // ps
+        n_total = (reserve_tokens + ps - 1) // ps
 
         # 1. Longest chain of already-cached full prompt pages (keep at least
         # one prompt token un-shared so prefill still emits last-token logits).
@@ -691,18 +743,110 @@ class PagedEngine(BatchedEngine):
                 self._page_key[page] = key
                 self._page_refs[page] = self._page_refs.get(page, 0) + 1
                 self._lru_touch(key)
+        return slot, last_logits
 
-        self._key, sub = jax.random.split(self._key)
-        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
-        self._pos[slot] = len(prompt)
-        self._last_tok[slot] = first_tok
-        rid = self._next_rid
-        self._next_rid += 1
-        req = _Request(rid, slot, len(prompt), max_new_tokens, [first_tok])
-        self._requests[rid] = req
-        self._by_slot[slot] = req
-        self._maybe_finish(req, first_tok)
-        return rid
+    # --- on-demand page growth + preemption -------------------------------
+
+    def _release_slot_pages(self, slot: int) -> None:
+        """Return a slot's pages to the pool (prefix-registered pages stay
+        resident; their refcount drops and eviction reclaims them)."""
+        pages = self._slot_pages.pop(slot, [])
+        for page in pages:
+            if page in self._page_key:
+                self._page_refs[page] = max(0, self._page_refs.get(page, 1) - 1)
+            else:
+                self._free_pages.append(page)
+        self._table[slot] = 0
+
+    def _preempt(self, req: _Request) -> None:
+        """Release `req`'s slot and pages under pool pressure; it will be
+        recomputed from prompt + generated tokens when capacity frees."""
+        self._release_slot_pages(req.slot)
+        self._cache = self._with_table(self._cache, self._table)
+        del self._by_slot[req.slot]
+        self._free.append(req.slot)
+        self._pos[req.slot] = 0
+        self._last_tok[req.slot] = 0
+        self._pending.append(req)
+        self.preemptions += 1
+
+    def _try_readmit(self) -> None:
+        """Re-admit preempted requests (oldest first) while slots and pages
+        allow. Recompute is exact: the readmitted context is the original
+        prompt + all generated tokens except the last (whose KV the next
+        decode step writes, exactly as in the unpreempted schedule)."""
+        while self._pending and self._free:
+            req = self._pending[0]
+            ctx = np.concatenate(
+                [req.prompt, np.asarray(req.tokens[:-1], np.int32)]
+            ).astype(np.int32)
+            reserve_tokens = (
+                req.prompt_len + req.max_new_tokens
+                if self.reserve == "full"
+                else len(ctx)
+            )
+            try:
+                slot, _ = self._admit(ctx, reserve_tokens)
+            except RuntimeError:
+                if not self._by_slot:
+                    raise RuntimeError(
+                        "page pool too small to readmit a preempted request; "
+                        "increase n_pages"
+                    ) from None
+                return  # retry when active requests release pages
+            self._pending.pop(0)
+            req.slot = slot
+            self._pos[slot] = len(ctx)
+            self._last_tok[slot] = req.tokens[-1]
+            self._by_slot[slot] = req
+
+    def _grow_for_decode(self, n: int) -> None:
+        """Ensure every active slot's table row covers its next `n` write
+        positions (capped at the request's remaining budget — a slot that
+        finishes mid-burst parks its extra writes in the scratch page).
+        Pool pressure evicts cold prefix pages first, then preempts the
+        youngest active request until the rest fit."""
+        while True:
+            need: Dict[int, int] = {}
+            for slot, req in self._by_slot.items():
+                remaining = req.max_new_tokens - len(req.tokens)
+                last_pos = int(self._pos[slot]) + min(n, remaining) - 1
+                k = last_pos // self.page_size + 1 - len(self._slot_pages[slot])
+                if k > 0:
+                    need[slot] = k
+            total = sum(need.values())
+            if total == 0:
+                return
+            if total > len(self._free_pages):
+                self._evict_prefix_pages(total)
+            if total <= len(self._free_pages):
+                break
+            if len(self._by_slot) == 1:
+                raise RuntimeError(
+                    "page pool exhausted by a single request; increase n_pages"
+                )
+            self._preempt(max(self._by_slot.values(), key=lambda r: r.rid))
+        for slot, k in need.items():
+            row = self._slot_pages[slot]
+            pages = [self._free_pages.pop() for _ in range(k)]
+            self._table[slot, len(row) : len(row) + k] = pages
+            row.extend(pages)
+        self._cache = self._with_table(self._cache, self._table)
+
+    def _has_work(self) -> bool:
+        return bool(self._by_slot) or bool(self._pending)
+
+    def step(self) -> Dict[int, int]:
+        self._try_readmit()
+        if self._by_slot:
+            self._grow_for_decode(1)
+        return super().step()
+
+    def decode_burst(self, n: int) -> Dict[int, List[int]]:
+        self._try_readmit()
+        if self._by_slot:
+            self._grow_for_decode(n)
+        return super().decode_burst(n)
 
     def _maybe_finish(self, req: _Request, tok: int) -> None:
         was_done = req.done
@@ -711,11 +855,5 @@ class PagedEngine(BatchedEngine):
             # Release the slot's pages: prefix-registered pages stay resident
             # (refcount drops; eviction reclaims them under pressure), the
             # rest return to the free pool.
-            pages = self._slot_pages.pop(req.slot, [])
-            for page in pages:
-                if page in self._page_key:
-                    self._page_refs[page] = max(0, self._page_refs.get(page, 1) - 1)
-                else:
-                    self._free_pages.append(page)
-            self._table[req.slot] = 0
+            self._release_slot_pages(req.slot)
             self._cache = self._with_table(self._cache, self._table)

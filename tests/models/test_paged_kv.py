@@ -84,11 +84,21 @@ def test_paged_engine_page_reuse():
 
 
 def test_paged_engine_pool_exhaustion():
+    # reserve="full" preallocates prompt + max_new pages, so over-commitment
+    # is rejected at admission.
     model = _tiny()
-    engine = PagedEngine(model, max_batch=4, max_len=32, n_pages=3, page_size=8)
+    engine = PagedEngine(
+        model, max_batch=4, max_len=32, n_pages=3, page_size=8, reserve="full"
+    )
     engine.add([1, 2, 3], max_new_tokens=10)  # needs 2 pages
     with pytest.raises(RuntimeError, match="page pool exhausted"):
         engine.add([4, 5, 6], max_new_tokens=10)
+    # The default (reserve="prompt") admits both: only prompt pages are
+    # reserved up front and decode pages grow on demand (with preemption
+    # under pressure).
+    engine2 = PagedEngine(model, max_batch=4, max_len=32, n_pages=3, page_size=8)
+    engine2.add([1, 2, 3], max_new_tokens=10)
+    engine2.add([4, 5, 6], max_new_tokens=10)
 
 
 def test_paged_engine_prefix_sharing_exact():

@@ -222,6 +222,101 @@ def test_paged_engine_decode_burst(model):
         assert e.result(rid) == r
 
 
+def test_paged_engine_on_demand_growth_matches_full_reserve(model):
+    """reserve="prompt" (on-demand page growth) must be token-identical to
+    reserve="full" (worst-case preallocation) when the pool never runs dry."""
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(11)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9)]
+    n_new = 7
+
+    outs = {}
+    for reserve in ("full", "prompt"):
+        e = PagedEngine(
+            model, max_batch=2, max_len=32, n_pages=17, page_size=4,
+            reserve=reserve,
+        )
+        rids = [e.add(p, max_new_tokens=n_new) for p in prompts]
+        e.run_to_completion(burst=4)
+        outs[reserve] = [e.result(r) for r in rids]
+        assert e.preemptions == 0
+    assert outs["prompt"] == outs["full"]
+
+
+def test_paged_engine_preemption_recompute(model):
+    """A pool too small for both sequences' full lengths forces on-demand
+    growth to preempt the youngest request; after recompute its tokens are
+    identical to an uncontended run (greedy sampling)."""
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(12)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (9, 9)]
+    n_new = 12  # final lengths 21 + 21 tokens
+
+    ref = PagedEngine(
+        model, max_batch=2, max_len=32, n_pages=17, page_size=4,
+        prefix_sharing=False,
+    )
+    rids = [ref.add(p, max_new_tokens=n_new) for p in prompts]
+    ref.run_to_completion()
+    refs = [ref.result(r) for r in rids]
+
+    # 9 usable pages * 4 = 36 token capacity < 42 needed concurrently: the
+    # youngest request must be preempted mid-decode and recomputed.
+    e = PagedEngine(
+        model, max_batch=2, max_len=32, n_pages=10, page_size=4,
+        prefix_sharing=False,
+    )
+    rids = [e.add(p, max_new_tokens=n_new) for p in prompts]
+    e.run_to_completion()
+    assert e.preemptions > 0
+    for rid, r in zip(rids, refs):
+        assert e.is_done(rid)
+        assert e.result(rid) == r
+
+
+def test_paged_engine_preemption_recompute_burst(model):
+    """Same preemption scenario driven through decode_burst."""
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(13)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (9, 9)]
+    n_new = 12
+
+    ref = PagedEngine(
+        model, max_batch=2, max_len=32, n_pages=17, page_size=4,
+        prefix_sharing=False,
+    )
+    rids = [ref.add(p, max_new_tokens=n_new) for p in prompts]
+    ref.run_to_completion()
+    refs = [ref.result(r) for r in rids]
+
+    e = PagedEngine(
+        model, max_batch=2, max_len=32, n_pages=10, page_size=4,
+        prefix_sharing=False,
+    )
+    rids = [e.add(p, max_new_tokens=n_new) for p in prompts]
+    e.run_to_completion(burst=4)
+    assert e.preemptions > 0
+    for rid, r in zip(rids, refs):
+        assert e.result(rid) == r
+
+
+def test_paged_engine_single_request_pool_exhaustion_raises(model):
+    from quanto_tpu.models.serving import PagedEngine
+
+    rng = np.random.RandomState(14)
+    prompt = rng.randint(0, 128, size=9).tolist()
+    e = PagedEngine(
+        model, max_batch=1, max_len=32, n_pages=4, page_size=4,
+        prefix_sharing=False,
+    )
+    e.add(prompt, max_new_tokens=12)  # needs 6 pages; pool has 3 usable
+    with pytest.raises(RuntimeError, match="page pool exhausted by a single"):
+        e.run_to_completion()
+
+
 def test_add_batch_matches_serial_adds(model):
     """Batched chunked prefill must produce the same tokens as serial add()
     for every request (same logits rows, same sampler key order)."""
