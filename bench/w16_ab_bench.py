@@ -131,15 +131,18 @@ def _patched_call(x, packed, scale_t, shift_t, bits, group_size, *, interpret=Fa
     return out.reshape(*lead, N).astype(x.dtype)
 
 
-def to_w16_state(state):
-    """Rebuild every WeightQBitsTpuArray in the state with an int16 payload."""
+def to_layout_state(state, layout):
+    """Rebuild every WeightQBitsTpuArray payload in the given layout
+    ("w16" int16 words or "u8" split-half), independent of the production
+    default (w16 was adopted as the default after this experiment)."""
     def conv(v):
         if not isinstance(v, WeightQBitsTpuArray):
             return v
         N, K = v.orig_shape
         codes = qbits_mm.unpack_split_half(v._packed, v.qtype.bits, K)
+        packed = pack_w16(codes) if layout == "w16" else qbits_mm.pack_split_half(codes, v.qtype.bits)
         return WeightQBitsTpuArray(
-            _packed=pack_w16(codes), _scale_t=v._scale_t, _shift_t=v._shift_t,
+            _packed=packed, _scale_t=v._scale_t, _shift_t=v._shift_t,
             qtype=v.qtype, group_size=v.group_size, orig_shape=v.orig_shape,
             float_dtype=v.float_dtype,
         )
@@ -174,7 +177,8 @@ def main():
     print(f"backend: {jax.default_backend()}", flush=True)
 
     kernel_check(interpret)
-    qbits_mm.qbits_matmul_kernel_call = _patched_call
+    # (production qbits_matmul_kernel_call handles int16 payloads natively
+    # since the w16 layout was adopted; no monkeypatch needed anymore)
 
     if on_tpu:
         config = LlamaConfig(
@@ -219,15 +223,12 @@ def main():
     gd, st = nnx.split(model)
     runs["bf16"] = bench_state(gd, st, "bf16")
 
-    # W4A16 + int4 head (current best config), u8 payloads
+    # W4A16 + int4 head (current best config), both payload layouts
     qt.quantize(model, weights="qint4")
     qt.freeze(model)
-    gd, st_u8 = nnx.split(model)
-    runs["w4a16h4_u8"] = bench_state(gd, st_u8, "w4a16h4_u8")
-
-    # same nibbles, int16 payloads
-    st_w16 = to_w16_state(st_u8)
-    runs["w4a16h4_w16"] = bench_state(gd, st_w16, "w4a16h4_w16")
+    gd, st = nnx.split(model)
+    runs["w4a16h4_u8"] = bench_state(gd, to_layout_state(st, "u8"), "w4a16h4_u8")
+    runs["w4a16h4_w16"] = bench_state(gd, to_layout_state(st, "w16"), "w4a16h4_w16")
 
     # W4A8 + int4 head (never measured): int8 activations on the body
     model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))

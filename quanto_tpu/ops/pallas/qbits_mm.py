@@ -14,7 +14,13 @@ K=4096, N=14336: 91 us vs 454 us for the XLA unpack+matmul fallback and
    layouts): `packed[n, j] = codes[n, j] | (codes[n, j + K/2] << 4)`, so
    unpacking a 128-lane chunk is one shift or mask on int32 — no interleave,
    no transpose. (Mosaic cannot legalize shifts on uint8 vectors; the int32
-   upcast is required.)
+   upcast is required.) Generalized to wider storage words: the **w16
+   layout** packs 4 int4 codes per int16 word (`word[n, j]` holds
+   `codes[n, j + p*K/4]` in bits 4p..4p+3) — same nibbles, 2-byte DMA
+   elements. Measured ~3% faster end-to-end on v5e decode (RESULTS.md
+   "Packed-payload DMA element width"), so w16 is the default int4 layout
+   where `(K/4) % 128 == 0`; the payload dtype (uint8 vs int16) selects the
+   in-kernel unpack arithmetic.
 
 2. **Group-factored dequantization**: instead of dequantizing every weight
    element (`(c*s - z)` = ~6 VPU ops/value, which made a naive kernel
@@ -47,6 +53,8 @@ __all__ = [
     "qbits_matmul_kernel_call",
     "qbits_int8_matmul_kernel_call",
     "pack_split_half",
+    "pack_w16",
+    "pack_for_kernel",
     "unpack_split_half",
 ]
 
@@ -78,8 +86,42 @@ def pack_split_half(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     raise ValueError(f"bits must be 2 or 4, got {bits}")
 
 
+def pack_w16(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
+    """Pack uint8 codes [N, K] into the w16 layout [N, K*bits/16] int16:
+    word j holds codes[:, j + p*(K*bits/16)] in bits `bits*p`.."""
+    N, K = codes.shape
+    vals = 16 // bits
+    W = K // vals
+    acc = jnp.zeros((N, W), jnp.int32)
+    for p in range(vals):
+        acc = acc | (codes[:, p * W : (p + 1) * W].astype(jnp.int32) << (bits * p))
+    return acc.astype(jnp.int16)
+
+
+def _word_vals(packed_dtype, bits: int) -> int:
+    """Codes per storage word (2 for u8/int4, 4 for w16/int4, ...)."""
+    return (8 * jnp.dtype(packed_dtype).itemsize) // bits
+
+
+def pack_for_kernel(codes: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Pick the fastest kernel layout for these codes: w16 when the per-part
+    width stays 128-lane aligned (~3% faster decode, RESULTS.md), else the
+    uint8 split-half baseline."""
+    K = codes.shape[1]
+    if bits == 4 and (K // 4) % _CHUNK == 0:
+        return pack_w16(codes, bits)
+    return pack_split_half(codes, bits)
+
+
 def unpack_split_half(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
-    """Inverse of `pack_split_half` (testing / fallback path)."""
+    """Inverse of `pack_split_half` / `pack_w16` (testing / fallback path);
+    the storage dtype selects the layout."""
+    if packed.dtype == jnp.int16:
+        vals = 16 // bits
+        w = packed.astype(jnp.int32)  # sign-extends: mask every part
+        mask = jnp.int32(2**bits - 1)
+        parts = [((w >> (bits * i)) & mask).astype(jnp.uint8) for i in range(vals)]
+        return jnp.concatenate(parts, axis=1)[:, :k]
     packed = packed.astype(jnp.uint8)
     vals = 8 // bits
     mask = jnp.uint8(2**bits - 1)
@@ -87,14 +129,16 @@ def unpack_split_half(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)[:, :k]
 
 
-def _unpack_part(b32, part, bits, vals, mask):
-    """Extract nibble/crumb `part` from u8-widened int32 registers. The top
-    part needs no mask: after `>> (bits * (vals-1))` on a value < 256 nothing
-    sits above bit bits-1 (verified numerics-identical in
-    bench/qbits_decode_ablation_bench.py)."""
+def _unpack_part(b32, part, bits, vals, mask, unsigned=True):
+    """Extract nibble/crumb `part` from word-widened int32 registers. For
+    u8-origin words (`unsigned`: zero-extended widen) the top part needs no
+    mask: after `>> (bits * (vals-1))` on a value < 256 nothing sits above
+    bit bits-1 (verified numerics-identical in
+    bench/qbits_decode_ablation_bench.py). int16-origin words sign-extend,
+    so every shifted part is masked."""
     if part == 0:
         return b32 & mask
-    if part == vals - 1:
+    if unsigned and part == vals - 1:
         return b32 >> (bits * part)
     return (b32 >> (bits * part)) & mask
 
@@ -103,7 +147,8 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     M = x_ref.shape[0]
     BN = p_ref.shape[0]
     Kpacked = p_ref.shape[1]
-    vals = 8 // bits
+    unsigned = p_ref.dtype == jnp.uint8
+    vals = _word_vals(p_ref.dtype, bits)
     mask = 2**bits - 1
     nchunks = Kpacked // _CHUNK
     K = Kpacked * vals
@@ -122,7 +167,7 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
         # from the same int32 registers.
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
         for part in range(vals):
-            raw = _unpack_part(b32, part, bits, vals, mask)
+            raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(dot_dtype)
             k0 = part * (K // vals) + c * _CHUNK
             g = k0 // group_size
@@ -137,18 +182,19 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
-def _prefill_kernel(*refs, group_size, vals):
+def _prefill_kernel(*refs, group_size, vals, bits):
     """Prefill-shaped (large-M) variant: M/N/K-tiled grid instead of the
-    decode kernel's VMEM-resident x. The split-half layout packs position j
-    with positions j + p*(K/vals), so one packed K-tile touches `vals` x
-    tiles (2 for int4, 4 for int2 — each arrives as its own ref); the output
-    block accumulates across the K grid dimension. Scale/shift refs carry ALL
-    G group rows (they are tiny; Mosaic rejects sub-8-row blocks) and the
-    per-chunk row is selected dynamically from the k program id.
+    decode kernel's VMEM-resident x. The word layouts pack position j with
+    positions j + p*(K/vals), so one packed K-tile touches `vals` x tiles
+    (2 for u8/int4, 4 for u8/int2 and w16/int4 — each arrives as its own
+    ref); the output block accumulates across the K grid dimension.
+    Scale/shift refs carry ALL G group rows (they are tiny; Mosaic rejects
+    sub-8-row blocks) and the per-chunk row is selected dynamically from the
+    k program id.
     """
     x_refs = refs[:vals]
     p_ref, s_ref, z_ref, out_ref = refs[vals:]
-    bits = 8 // vals
+    unsigned = p_ref.dtype == jnp.uint8
     mask = 2**bits - 1
     k = pl.program_id(2)
 
@@ -177,7 +223,7 @@ def _prefill_kernel(*refs, group_size, vals):
         # occupy rows p*G/vals.. (groups never straddle parts by gating).
         row0 = (k * bkp + c * _CHUNK) // group_size
         for part, x in enumerate(xs):
-            raw = _unpack_part(b32, part, bits, vals, mask)
+            raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(dot_dtype)
             xg = x[:, c * _CHUNK : (c + 1) * _CHUNK]
             pd = jax.lax.dot_general(
@@ -194,14 +240,14 @@ def _prefill_kernel(*refs, group_size, vals):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "vals", "interpret")
+    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "vals", "bits", "interpret")
 )
-def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals, interpret=False):
+def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals, bits, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
     part_blocks = Kpacked // bkp  # block offset between parts in x
-    kernel = functools.partial(_prefill_kernel, group_size=group_size, vals=vals)
+    kernel = functools.partial(_prefill_kernel, group_size=group_size, vals=vals, bits=bits)
     # Part p's x K-tiles (same array, `vals` views offset by p * K/vals).
     x_specs = [
         pl.BlockSpec(
@@ -227,7 +273,8 @@ def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=N * Kpacked + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
+            bytes_accessed=N * Kpacked * packed.dtype.itemsize
+            + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
             transcendentals=0,
         ),
     )(*([x] * vals), packed, scale_t, shift_t)
@@ -238,6 +285,7 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     Returns the [M, N] float32 output or None when outside the envelope."""
     M = x2.shape[0]
     N, Kpacked = packed.shape
+    vals = _word_vals(packed.dtype, bits)
     if gs == K:
         return None  # per-tensor/per-axis: G rows too few for a VMEM block
     if bits == 2 and M > 1024:
@@ -261,7 +309,7 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     out = _prefill_call(
         x2, packed,
         scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
-        group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=8 // bits, interpret=interpret,
+        group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=vals, bits=bits, interpret=interpret,
     )
     return out[:M] if m_pad else out
 
@@ -278,7 +326,8 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     M = x_ref.shape[0]
     BN = p_ref.shape[0]
     Kpacked = p_ref.shape[1]
-    vals = 8 // bits
+    unsigned = p_ref.dtype == jnp.uint8
+    vals = _word_vals(p_ref.dtype, bits)
     mask = 2**bits - 1
     nchunks = Kpacked // _CHUNK
     K = Kpacked * vals
@@ -287,7 +336,7 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     for part in range(vals):
         for c in range(nchunks):
             b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
-            raw = _unpack_part(b32, part, bits, vals, mask)
+            raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(jnp.int8)  # 0..15 fits int8 exactly
             k0 = part * (K // vals) + c * _CHUNK
             g = k0 // group_size
@@ -309,7 +358,7 @@ def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    bn = _pick_bn(N, Kpacked, M, x.dtype.itemsize)
+    bn = _pick_bn(N, Kpacked * packed.dtype.itemsize, M, K, x.dtype.itemsize)
     kernel = functools.partial(_int8_kernel, bits=bits, group_size=group_size)
     return pl.pallas_call(
         kernel,
@@ -325,7 +374,8 @@ def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=N * Kpacked + M * K + M * N * 4 + 2 * N * G * 4,
+            bytes_accessed=N * Kpacked * packed.dtype.itemsize
+            + M * K + M * N * 4 + 2 * N * G * 4,
             transcendentals=0,
         ),
     )(x, packed, scale_t, shift_t)
@@ -349,10 +399,12 @@ def qbits_int8_matmul_kernel_call(
     kernel envelope."""
     if packed.ndim != 2 or bits not in (2, 4):
         return None
+    if packed.dtype not in (jnp.uint8, jnp.int16):
+        return None
     if x_data.dtype != jnp.int8:
         return None
     N, Kpacked = packed.shape
-    vals = 8 // bits
+    vals = _word_vals(packed.dtype, bits)
     K = Kpacked * vals
     if x_data.shape[-1] != K or N % 128 != 0 or Kpacked % _CHUNK != 0:
         return None
@@ -398,9 +450,9 @@ def qbits_int8_matmul_kernel_call(
 _MAX_M = 512
 
 
-def _pick_bn(n: int, k_packed: int, m: int, x_itemsize: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
-    vals_budget = vmem_budget - 2 * m * (k_packed * 2) * x_itemsize  # x (+f32 copy)
-    limit = max(vals_budget // (2 * max(k_packed, 1)), 128)
+def _pick_bn(n: int, packed_row_bytes: int, m: int, k: int, x_itemsize: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+    vals_budget = vmem_budget - 2 * m * k * x_itemsize  # x (+f32 copy)
+    limit = max(vals_budget // (2 * max(packed_row_bytes, 1)), 128)
     # 1024 measured fastest on v5e (2048 regresses ~3%: less pipelining overlap).
     for cand in (1024, 512, 256, 128):
         if cand <= limit and n % cand == 0:
@@ -413,7 +465,7 @@ def _call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    bn = _pick_bn(N, Kpacked, M, x.dtype.itemsize)
+    bn = _pick_bn(N, Kpacked * packed.dtype.itemsize, M, K, x.dtype.itemsize)
     kernel = functools.partial(_kernel, bits=bits, group_size=group_size)
     return pl.pallas_call(
         kernel,
@@ -429,7 +481,8 @@ def _call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=N * Kpacked + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
+            bytes_accessed=N * Kpacked * packed.dtype.itemsize
+            + M * K * x.dtype.itemsize + M * N * 4 + 2 * N * G * 4,
             transcendentals=0,
         ),
     )(x, packed, scale_t, shift_t)
@@ -454,8 +507,10 @@ def qbits_matmul_kernel_call(
     """
     if packed.ndim != 2 or bits not in (2, 4):
         return None
+    if packed.dtype not in (jnp.uint8, jnp.int16):
+        return None
     N, Kpacked = packed.shape
-    vals = 8 // bits
+    vals = _word_vals(packed.dtype, bits)
     K = Kpacked * vals
     if x.shape[-1] != K or N % 128 != 0 or Kpacked % _CHUNK != 0:
         return None

@@ -19,6 +19,7 @@ from quanto_tpu.ops.pallas import (
     qbytes_matmul_kernel_call,
     unpack_split_half,
 )
+from quanto_tpu.ops.pallas.qbits_mm import pack_for_kernel, pack_w16
 from quanto_tpu.tensor.weights import WeightQBitsTpuArray
 
 from ..helpers import assert_similar, random_qweight, random_tensor
@@ -40,6 +41,51 @@ def test_split_half_pack_roundtrip(bits):
     np.testing.assert_array_equal(
         np.asarray(unpack_split_half(packed, bits, 256)), np.asarray(codes)
     )
+
+
+def test_pack_w16_roundtrip():
+    k = jax.random.PRNGKey(1)
+    codes = jax.random.randint(k, (128, 512), 0, 16, jnp.uint8)
+    packed = pack_w16(codes, 4)
+    assert packed.shape == (128, 128) and packed.dtype == jnp.int16
+    np.testing.assert_array_equal(
+        np.asarray(unpack_split_half(packed, 4, 512)), np.asarray(codes)
+    )
+
+
+def test_pack_for_kernel_layout_selection():
+    k = jax.random.PRNGKey(2)
+    # int4 with (K/4) % 128 == 0 -> w16
+    codes = jax.random.randint(k, (128, 512), 0, 16, jnp.uint8)
+    assert pack_for_kernel(codes, 4).dtype == jnp.int16
+    # int4 with (K/4) % 128 != 0 -> u8 split-half
+    codes = jax.random.randint(k, (128, 256), 0, 16, jnp.uint8)
+    assert pack_for_kernel(codes, 4).dtype == jnp.uint8
+    # int2 stays u8
+    codes = jax.random.randint(k, (128, 512), 0, 4, jnp.uint8)
+    assert pack_for_kernel(codes, 2).dtype == jnp.uint8
+
+
+@pytest.mark.parametrize("m", [4, 600])
+def test_w16_and_u8_kernels_agree(m):
+    """Both payload layouts of the SAME nibbles produce the same matmul
+    (decode and prefill routes)."""
+    qw = random_qweight((256, 512), qt.qint4, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
+    assert tpu._packed.dtype == jnp.int16  # w16-eligible shape
+    codes = unpack_split_half(tpu._packed, 4, 512)
+    u8 = pack_split_half(codes, 4)
+    x = random_tensor((m, 512), key=jax.random.PRNGKey(5))
+    out16 = qbits_matmul_kernel_call(
+        x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128, interpret=True
+    )
+    out8 = qbits_matmul_kernel_call(
+        x, u8, tpu._scale_t, tpu._shift_t, 4, 128, interpret=True
+    )
+    assert out16 is not None and out8 is not None
+    ref = x @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("group_size", [128, None])
