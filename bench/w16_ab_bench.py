@@ -241,7 +241,8 @@ def main():
         model(jnp.asarray(ids))
     qt.freeze(model)
     gd8, st8 = nnx.split(model)
-    runs["w4a8h4_u8"] = bench_state(gd8, st8, "w4a8h4_u8")
+    # (payloads follow the production default layout — w16 since adoption)
+    runs["w4a8h4"] = bench_state(gd8, st8, "w4a8h4")
 
     # Interleaved timed rounds (drift guard).
     times = {t: float("inf") for t in runs}
