@@ -68,8 +68,22 @@ _CHUNK = 128  # lanes per unpacked MXU contraction
 _FORCE_DOT_DTYPE = None
 
 
-def pack_split_half(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
-    """Pack uint8 codes [N, K] into the split-half layout [N, K * bits / 8]."""
+def pack_split_half(codes: jnp.ndarray, bits: int = 4, k_shards: int = 1) -> jnp.ndarray:
+    """Pack uint8 codes [N, K] into the split-half layout [N, K * bits / 8].
+
+    With `k_shards` = s > 1 the K axis is first split into s contiguous
+    blocks and each block is packed independently (block-local layout):
+    packed columns [b*Kp/s, (b+1)*Kp/s) form a complete standalone layout of
+    K block b. This is what makes row-parallel (K) tensor sharding a plain
+    column shard of the payload — each device owns whole blocks.
+    """
+    if k_shards > 1:
+        N, K = codes.shape
+        kb = K // k_shards
+        return jnp.concatenate(
+            [pack_split_half(codes[:, b * kb : (b + 1) * kb], bits) for b in range(k_shards)],
+            axis=1,
+        )
     N, K = codes.shape
     codes = codes.astype(jnp.uint8)
     if bits == 4:
@@ -86,9 +100,17 @@ def pack_split_half(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     raise ValueError(f"bits must be 2 or 4, got {bits}")
 
 
-def pack_w16(codes: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
+def pack_w16(codes: jnp.ndarray, bits: int = 4, k_shards: int = 1) -> jnp.ndarray:
     """Pack uint8 codes [N, K] into the w16 layout [N, K*bits/16] int16:
-    word j holds codes[:, j + p*(K*bits/16)] in bits `bits*p`.."""
+    word j holds codes[:, j + p*(K*bits/16)] in bits `bits*p`. With
+    `k_shards` > 1, block-local per contiguous K block (see pack_split_half)."""
+    if k_shards > 1:
+        N, K = codes.shape
+        kb = K // k_shards
+        return jnp.concatenate(
+            [pack_w16(codes[:, b * kb : (b + 1) * kb], bits) for b in range(k_shards)],
+            axis=1,
+        )
     N, K = codes.shape
     vals = 16 // bits
     W = K // vals
@@ -103,19 +125,29 @@ def _word_vals(packed_dtype, bits: int) -> int:
     return (8 * jnp.dtype(packed_dtype).itemsize) // bits
 
 
-def pack_for_kernel(codes: jnp.ndarray, bits: int) -> jnp.ndarray:
+def pack_for_kernel(codes: jnp.ndarray, bits: int, k_shards: int = 1) -> jnp.ndarray:
     """Pick the fastest kernel layout for these codes: w16 when the per-part
     width stays 128-lane aligned (~3% faster decode, RESULTS.md), else the
-    uint8 split-half baseline."""
+    uint8 split-half baseline. Layout checks are per K block (`k_shards`)."""
     K = codes.shape[1]
-    if bits == 4 and (K // 4) % _CHUNK == 0:
-        return pack_w16(codes, bits)
-    return pack_split_half(codes, bits)
+    if bits == 4 and (K // (4 * k_shards)) % _CHUNK == 0:
+        return pack_w16(codes, bits, k_shards)
+    return pack_split_half(codes, bits, k_shards)
 
 
-def unpack_split_half(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
+def unpack_split_half(packed: jnp.ndarray, bits: int, k: int, k_shards: int = 1) -> jnp.ndarray:
     """Inverse of `pack_split_half` / `pack_w16` (testing / fallback path);
     the storage dtype selects the layout."""
+    if k_shards > 1:
+        Kp = packed.shape[1]
+        kpb = Kp // k_shards
+        return jnp.concatenate(
+            [
+                unpack_split_half(packed[:, b * kpb : (b + 1) * kpb], bits, k // k_shards)
+                for b in range(k_shards)
+            ],
+            axis=1,
+        )
     if packed.dtype == jnp.int16:
         vals = 16 // bits
         w = packed.astype(jnp.int32)  # sign-extends: mask every part
@@ -143,7 +175,7 @@ def _unpack_part(b32, part, bits, vals, mask, unsigned=True):
     return (b32 >> (bits * part)) & mask
 
 
-def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
+def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
     M = x_ref.shape[0]
     BN = p_ref.shape[0]
     Kpacked = p_ref.shape[1]
@@ -151,7 +183,10 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     vals = _word_vals(p_ref.dtype, bits)
     mask = 2**bits - 1
     nchunks = Kpacked // _CHUNK
-    K = Kpacked * vals
+    # Block-local layout: packed column j in K block b = j // kp_b, local
+    # column jl = j % kp_b, part p holds element (b*vals + p) * kp_b + jl
+    # (elements per part per block == packed columns per block == kp_b).
+    kp_b = Kpacked // k_shards
 
     # bf16 inputs dot in bf16 (int4 codes are exact in bf16 and the MXU
     # accumulates f32, so the numerics are IDENTICAL to f32 dots of the same
@@ -166,10 +201,11 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
         # Read + widen each packed byte block ONCE; both nibble parts come
         # from the same int32 registers.
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
+        blk, jl0 = divmod(c * _CHUNK, kp_b)
         for part in range(vals):
             raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(dot_dtype)
-            k0 = part * (K // vals) + c * _CHUNK
+            k0 = (blk * vals + part) * kp_b + jl0
             g = k0 // group_size
             xg = x[:, k0 : k0 + _CHUNK]
             pd = jax.lax.dot_general(
@@ -182,12 +218,13 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
-def _prefill_kernel(*refs, group_size, vals, bits):
+def _prefill_kernel(*refs, group_size, vals, bits, kp_b):
     """Prefill-shaped (large-M) variant: M/N/K-tiled grid instead of the
     decode kernel's VMEM-resident x. The word layouts pack position j with
-    positions j + p*(K/vals), so one packed K-tile touches `vals` x tiles
-    (2 for u8/int4, 4 for u8/int2 and w16/int4 — each arrives as its own
-    ref); the output block accumulates across the K grid dimension.
+    positions j + p*(K_block/vals) inside each of the `k_shards` K blocks
+    (kp_b = packed columns per block), so one packed K-tile touches `vals`
+    x tiles (2 for u8/int4, 4 for u8/int2 and w16/int4 — each arrives as
+    its own ref); the output block accumulates across the K grid dimension.
     Scale/shift refs carry ALL G group rows (they are tiny; Mosaic rejects
     sub-8-row blocks) and the per-chunk row is selected dynamically from the
     k program id.
@@ -217,11 +254,12 @@ def _prefill_kernel(*refs, group_size, vals, bits):
         acc_dtype = jnp.float32
         xs = [r[:].astype(dot_dtype) for r in x_refs]
     acc = jnp.zeros((BM, BN), jnp.float32)
+    # K tiles never straddle K blocks (bkp | kp_b by gating), so the block
+    # index is constant per program: blk = (k*bkp) // kp_b.
+    blk = (k * bkp) // kp_b
+    jl_base = k * bkp - blk * kp_b
     for c in range(bkp // _CHUNK):
         b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
-        # Global group row of this chunk within part 0; part p's groups
-        # occupy rows p*G/vals.. (groups never straddle parts by gating).
-        row0 = (k * bkp + c * _CHUNK) // group_size
         for part, x in enumerate(xs):
             raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(dot_dtype)
@@ -232,7 +270,8 @@ def _prefill_kernel(*refs, group_size, vals, bits):
                 preferred_element_type=acc_dtype,
             )
             xsum = jnp.sum(xg.astype(acc_dtype), axis=1, keepdims=True)
-            row = row0 + part * (G // vals)
+            # Global element offset of this chunk: (blk*vals + part)*kp_b + jl.
+            row = ((blk * vals + part) * kp_b + jl_base + c * _CHUNK) // group_size
             s = s_ref[pl.ds(row, 1), :]
             z = z_ref[pl.ds(row, 1), :]
             acc += pd.astype(jnp.float32) * s - xsum.astype(jnp.float32) * z
@@ -240,19 +279,26 @@ def _prefill_kernel(*refs, group_size, vals, bits):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "bm", "bn", "bkp", "vals", "bits", "interpret")
+    jax.jit,
+    static_argnames=("group_size", "bm", "bn", "bkp", "vals", "bits", "k_shards", "interpret"),
 )
-def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals, bits, interpret=False):
+def _prefill_call(
+    x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals, bits, k_shards=1, interpret=False
+):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    part_blocks = Kpacked // bkp  # block offset between parts in x
-    kernel = functools.partial(_prefill_kernel, group_size=group_size, vals=vals, bits=bits)
-    # Part p's x K-tiles (same array, `vals` views offset by p * K/vals).
+    kp_b = Kpacked // k_shards  # packed columns (== elements per part) per K block
+    rb = kp_b // bkp  # K grid programs per block
+    kernel = functools.partial(
+        _prefill_kernel, group_size=group_size, vals=vals, bits=bits, kp_b=kp_b
+    )
+    # Part p's x K-tiles: x element offset of grid step k for part p is
+    # (blk*vals + p) * kp_b + jl, blk = k // rb, jl = (k % rb) * bkp.
     x_specs = [
         pl.BlockSpec(
             (bm, bkp),
-            lambda i, j, k, p=p: (i, k + p * part_blocks),
+            lambda i, j, k, p=p: (i, (k // rb * vals + p) * rb + k % rb),
             memory_space=pltpu.VMEM,
         )
         for p in range(vals)
@@ -280,7 +326,7 @@ def _prefill_call(x, packed, scale_t, shift_t, *, group_size, bm, bn, bkp, vals,
     )(*([x] * vals), packed, scale_t, shift_t)
 
 
-def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
+def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, interpret=False):
     """Shared M>_MAX_M dispatch to `_prefill_call` (float or int8 x).
     Returns the [M, N] float32 output or None when outside the envelope."""
     M = x2.shape[0]
@@ -297,8 +343,10 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     # Measured on v5e (K=4096, N=14336): the largest K-tile wins until
     # VMEM pressure bites — bkp=2048 is best at M<=1024 (62.7 vs 54.8
     # TF/s at M=1024), bkp=1024 at larger M (89.3 vs 78.4 at M=2048).
+    # K tiles must not straddle block-local K blocks: bkp | Kpacked/k_shards.
+    kp_b = Kpacked // k_shards
     bkp_cands = (2048, 1024, 512, 256, 128) if M <= 1024 else (1024, 512, 256, 128)
-    bkp = next((c for c in bkp_cands if Kpacked % c == 0), None)
+    bkp = next((c for c in bkp_cands if kp_b % c == 0), None)
     bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
     if bkp is None or bn is None:
         return None
@@ -309,12 +357,13 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, interpret):
     out = _prefill_call(
         x2, packed,
         scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
-        group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=vals, bits=bits, interpret=interpret,
+        group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=vals, bits=bits,
+        k_shards=k_shards, interpret=interpret,
     )
     return out[:M] if m_pad else out
 
 
-def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
+def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
     """W4A8: int8 activations x int4 codes on the integer MXU.
 
     Same group-factored algebra as `_kernel` but the per-chunk product runs
@@ -330,7 +379,7 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     vals = _word_vals(p_ref.dtype, bits)
     mask = 2**bits - 1
     nchunks = Kpacked // _CHUNK
-    K = Kpacked * vals
+    kp_b = Kpacked // k_shards  # block-local layout (see _kernel)
 
     y = jnp.zeros((M, BN), jnp.float32)
     for part in range(vals):
@@ -338,7 +387,8 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
             b32 = p_ref[:, c * _CHUNK : (c + 1) * _CHUNK].astype(jnp.int32)
             raw = _unpack_part(b32, part, bits, vals, mask, unsigned)
             codes = raw.astype(jnp.int8)  # 0..15 fits int8 exactly
-            k0 = part * (K // vals) + c * _CHUNK
+            blk, jl0 = divmod(c * _CHUNK, kp_b)
+            k0 = (blk * vals + part) * kp_b + jl0
             g = k0 // group_size
             xg = x_ref[:, k0 : k0 + _CHUNK]  # int8
             pd = jax.lax.dot_general(
@@ -353,13 +403,13 @@ def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size):
     out_ref[:] = y
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "interpret"))
-def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "k_shards", "interpret"))
+def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, k_shards=1, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
     bn = _pick_bn(N, Kpacked * packed.dtype.itemsize, M, K, x.dtype.itemsize)
-    kernel = functools.partial(_int8_kernel, bits=bits, group_size=group_size)
+    kernel = functools.partial(_int8_kernel, bits=bits, group_size=group_size, k_shards=k_shards)
     return pl.pallas_call(
         kernel,
         grid=(N // bn,),
@@ -381,6 +431,26 @@ def _int8_call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False
     )(x, packed, scale_t, shift_t)
 
 
+def _kernel_ok(x, packed, bits, K, gs, k_shards) -> bool:
+    """Shared kernel-envelope gate (the analogue of the reference kernel
+    selection constraints, `weights/qbits.py:94-138`). Block-local layout:
+    every per-(block, part) segment has kp_b = Kpacked/k_shards elements;
+    chunks and scale groups must not straddle segments."""
+    if packed.ndim != 2 or bits not in (2, 4):
+        return False
+    if packed.dtype not in (jnp.uint8, jnp.int16):
+        return False
+    N, Kpacked = packed.shape
+    if Kpacked % k_shards != 0:
+        return False
+    kp_b = Kpacked // k_shards
+    if x.shape[-1] != K or N % 128 != 0 or kp_b % _CHUNK != 0:
+        return False
+    if gs == K:
+        return k_shards == 1  # a single group cannot straddle K blocks
+    return gs % _CHUNK == 0 and kp_b % gs == 0
+
+
 def qbits_int8_matmul_kernel_call(
     x_data: jnp.ndarray,
     x_scale,
@@ -391,25 +461,20 @@ def qbits_int8_matmul_kernel_call(
     group_size: Optional[int],
     float_dtype,
     *,
+    k_shards: int = 1,
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """W4A8 fused matmul: int8 activation payload (per-tensor scale `x_scale`)
     against split-half packed sub-byte weights. Returns the FLOAT output
     (same semantics as dequantizing both operands), or None when outside the
     kernel envelope."""
-    if packed.ndim != 2 or bits not in (2, 4):
-        return None
-    if packed.dtype not in (jnp.uint8, jnp.int16):
-        return None
     if x_data.dtype != jnp.int8:
         return None
-    N, Kpacked = packed.shape
-    vals = _word_vals(packed.dtype, bits)
+    N, Kpacked = packed.shape if packed.ndim == 2 else (0, 0)
+    vals = _word_vals(packed.dtype, bits) if packed.dtype in (jnp.uint8, jnp.int16) else 0
     K = Kpacked * vals
-    if x_data.shape[-1] != K or N % 128 != 0 or Kpacked % _CHUNK != 0:
-        return None
     gs = group_size if group_size is not None else K
-    if gs != K and (gs % _CHUNK != 0 or (K // vals) % gs != 0):
+    if not _kernel_ok(x_data, packed, bits, K, gs, k_shards):
         return None
     lead = x_data.shape[:-1]
     M = 1
@@ -419,7 +484,7 @@ def qbits_int8_matmul_kernel_call(
         # W4A8 prefill: same tiled kernel, int8 x int4 on the integer MXU.
         out = _prefill_route(
             x_data.reshape(M, K), packed, scale_t, shift_t,
-            bits=bits, gs=gs, K=K, interpret=interpret,
+            bits=bits, gs=gs, K=K, k_shards=k_shards, interpret=interpret,
         )
         if out is None:
             return None
@@ -432,7 +497,7 @@ def qbits_int8_matmul_kernel_call(
     out = _int8_call(
         x2, packed,
         scale_t.astype(jnp.float32), shift_t.astype(jnp.float32),
-        bits=bits, group_size=gs, interpret=interpret,
+        bits=bits, group_size=gs, k_shards=k_shards, interpret=interpret,
     )
     if m_pad:
         out = out[:M]
@@ -460,13 +525,13 @@ def _pick_bn(n: int, packed_row_bytes: int, m: int, k: int, x_itemsize: int, vme
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "group_size", "interpret"))
-def _call(x, packed, scale_t, shift_t, *, bits, group_size, interpret=False):
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "k_shards", "interpret"))
+def _call(x, packed, scale_t, shift_t, *, bits, group_size, k_shards=1, interpret=False):
     M, K = x.shape
     N, Kpacked = packed.shape
     G = scale_t.shape[0]
     bn = _pick_bn(N, Kpacked * packed.dtype.itemsize, M, K, x.dtype.itemsize)
-    kernel = functools.partial(_kernel, bits=bits, group_size=group_size)
+    kernel = functools.partial(_kernel, bits=bits, group_size=group_size, k_shards=k_shards)
     return pl.pallas_call(
         kernel,
         grid=(N // bn,),
@@ -496,6 +561,7 @@ def qbits_matmul_kernel_call(
     bits: int,
     group_size: Optional[int],
     *,
+    k_shards: int = 1,
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """y[..., N] = x[..., K] @ dequant(packed).T with split-half packed weights.
@@ -505,21 +571,13 @@ def qbits_matmul_kernel_call(
     fail (caller falls back to the XLA dequant path) — the analogue of the
     reference kernel gating (`weights/qbits.py:94-138`).
     """
-    if packed.ndim != 2 or bits not in (2, 4):
-        return None
-    if packed.dtype not in (jnp.uint8, jnp.int16):
-        return None
-    N, Kpacked = packed.shape
-    vals = _word_vals(packed.dtype, bits)
-    K = Kpacked * vals
-    if x.shape[-1] != K or N % 128 != 0 or Kpacked % _CHUNK != 0:
-        return None
-    gs = group_size if group_size is not None else K
-    # Each 128-lane chunk must live inside one scale group, and groups must
-    # not straddle the split-half (nibble-part) boundaries.
-    if gs != K and (gs % _CHUNK != 0 or (K // vals) % gs != 0):
-        return None
     if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return None
+    N, Kpacked = packed.shape if packed.ndim == 2 else (0, 0)
+    vals = _word_vals(packed.dtype, bits) if packed.dtype in (jnp.uint8, jnp.int16) else 0
+    K = Kpacked * vals
+    gs = group_size if group_size is not None else K
+    if not _kernel_ok(x, packed, bits, K, gs, k_shards):
         return None
     lead = x.shape[:-1]
     M = 1
@@ -530,7 +588,7 @@ def qbits_matmul_kernel_call(
         # instead of VMEM-resident).
         out = _prefill_route(
             x.reshape(M, K), packed, scale_t, shift_t,
-            bits=bits, gs=gs, K=K, interpret=interpret,
+            bits=bits, gs=gs, K=K, k_shards=k_shards, interpret=interpret,
         )
         if out is None:
             return None
@@ -546,6 +604,7 @@ def qbits_matmul_kernel_call(
         shift_t.astype(jnp.float32),
         bits=bits,
         group_size=gs,
+        k_shards=k_shards,
         interpret=interpret,
     )
     if m_pad:

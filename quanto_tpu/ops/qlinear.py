@@ -52,6 +52,7 @@ def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
             w._shift_t,
             w.qtype.bits,
             w.group_size,
+            k_shards=w.k_shards,
             interpret=config.pallas_interpret(),
         )
         if out is not None:
@@ -95,6 +96,7 @@ def qlinear(
                 out = qbits_int8_matmul_kernel_call(
                     x.data, x.scale, w._packed, w._scale_t, w._shift_t,
                     w.qtype.bits, w.group_size, w.float_dtype,
+                    k_shards=w.k_shards,
                     interpret=config.pallas_interpret(),
                 )
                 if out is not None:

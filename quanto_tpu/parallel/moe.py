@@ -107,6 +107,7 @@ class _StackedProj(nnx.Module):
             self.group_size = w0.group_size
             self.orig_shape = w0.orig_shape
             self.float_dtype = w0.float_dtype
+            self.k_shards = w0.k_shards
             self.data = nnx.Param(put(jnp.stack([w._packed for w in weights])))
             self.scale = nnx.Param(put(jnp.stack([w._scale_t for w in weights])))
             self.shift = nnx.Param(put(jnp.stack([w._shift_t for w in weights])))
@@ -142,6 +143,7 @@ class _StackedProj(nnx.Module):
                 _packed=data[j], _scale_t=scale[j], _shift_t=shift[j],
                 qtype=self.qtype, group_size=self.group_size,
                 orig_shape=self.orig_shape, float_dtype=self.float_dtype,
+                k_shards=getattr(self, "k_shards", 1),
             )
         else:
             w = leaves[0][j].astype(x.dtype)

@@ -224,27 +224,41 @@ def _shard_qweight(qw: QArray, mesh: Mesh, spec: P):
             activation_qtype=qw.activation_qtype,
         )
     if isinstance(qw, WeightQBitsTpuArray):
-        # TPU split-half layout shards cleanly along N (out-features):
-        # `_packed` is [N, K*bits/8] and the transposed group scales/shifts
-        # are [G, N] — both carry N as an axis, so a column-parallel spec
-        # shards payload and scales congruently. Row-parallel (K) sharding
-        # would split the split-half nibble pairs across devices; keep those
-        # replicated (they are 4-8x smaller than bf16 already).
+        # TPU word-packed layout: `_packed` is [N, K*bits/word] and the
+        # transposed group scales/shifts are [G, N].
+        # - Column-parallel (out-axis): shard payload rows / scale columns.
+        # - Row-parallel (in-axis): repack block-local with k_shards = axis
+        #   size, so packed COLUMNS shard at K-block boundaries and each
+        #   device owns the whole scale-group rows of its own K blocks;
+        #   XLA turns the contraction-sharded matmul into per-device partial
+        #   products + psum over the axis (Megatron row-parallel).
         out_axis = spec[0] if len(spec) > 0 else None
+        in_axis = spec[1] if len(spec) > 1 else None
+        if in_axis is not None:
+            repacked = qw.repack(mesh.shape[in_axis])
+            if repacked is None:
+                # Outside the block-local envelope: replicate (pad-free rule).
+                in_axis = None
+            else:
+                qw = repacked
         return WeightQBitsTpuArray(
-            _packed=_put(qw._packed, mesh, P(out_axis, None)),
-            _scale_t=_put(qw._scale_t, mesh, P(None, out_axis)),
-            _shift_t=_put(qw._shift_t, mesh, P(None, out_axis)),
+            _packed=_put(qw._packed, mesh, P(out_axis, in_axis)),
+            _scale_t=_put(qw._scale_t, mesh, P(in_axis, out_axis)),
+            _shift_t=_put(qw._shift_t, mesh, P(in_axis, out_axis)),
             qtype=qw.qtype,
             group_size=qw.group_size,
             orig_shape=qw.orig_shape,
             float_dtype=qw.float_dtype,
+            k_shards=qw.k_shards,
         )
     if isinstance(qw, WeightQBitsArray):
         # Generic grouped layout: the packed payload's rows interleave output
         # channels (pack along axis 0 of the grouped view), so sharding it
-        # would split nibble pairs across devices. Replicate; `optimize()`
-        # (→ WeightQBitsTpuArray) is the shardable layout.
+        # directly would split nibble pairs across devices. Convert to the
+        # TPU layout (the shardable one) when eligible, else replicate.
+        converted = WeightQBitsTpuArray.from_generic(qw)
+        if converted is not None:
+            return _shard_qweight(converted, mesh, spec)
         return qw
     return qw
 

@@ -201,6 +201,13 @@ class WeightQBitsTpuArray(QArray):
     float-shift semantics (`deq = scale * code - shift`) — transposed so the
     kernel slices per-group [1, out] rows that broadcast over its output
     tile directly.
+
+    `k_shards` > 1 selects the block-local variant of the same layout: K is
+    split into `k_shards` contiguous blocks, each packed independently, so
+    packed COLUMNS shard along a mesh axis at block boundaries (row-parallel
+    tensor parallelism) with scale/shift ROWS sharding congruently — each
+    device owns whole scale groups of its own K blocks. `repack()` converts
+    between k_shards values (scale/shift values are unchanged).
     """
 
     _packed: jnp.ndarray
@@ -210,26 +217,38 @@ class WeightQBitsTpuArray(QArray):
     group_size: Optional[int]
     orig_shape: Tuple[int, ...]
     float_dtype: jnp.dtype
+    k_shards: int = 1
 
     @staticmethod
-    def eligible(orig_shape: Tuple[int, ...], bits: int, group_size: Optional[int]) -> bool:
-        """Kernel-layout constraints (mirrors `ops/pallas/qbits_mm.py` gating)."""
+    def eligible(
+        orig_shape: Tuple[int, ...],
+        bits: int,
+        group_size: Optional[int],
+        k_shards: int = 1,
+    ) -> bool:
+        """Kernel-layout constraints (mirrors `ops/pallas/qbits_mm.py` gating),
+        applied per K block for the block-local (`k_shards` > 1) layout."""
         if len(orig_shape) != 2 or bits not in (2, 4):
             return False
         N, K = orig_shape
         vals = 8 // bits
         gs = group_size if group_size is not None else K
-        if N % 128 != 0 or (K // vals) % 128 != 0:
+        if K % k_shards != 0 or (K // vals) % k_shards != 0:
             return False
-        if gs != K and (gs % 128 != 0 or (K // vals) % gs != 0):
+        kp_b = K // vals // k_shards  # u8-layout packed columns per K block
+        if N % 128 != 0 or kp_b % 128 != 0:
             return False
-        return True
+        if gs == K:
+            return k_shards == 1  # one group cannot straddle K blocks
+        return gs % 128 == 0 and kp_b % gs == 0
 
     @classmethod
-    def from_generic(cls, w: "WeightQBitsArray") -> Optional["WeightQBitsTpuArray"]:
+    def from_generic(
+        cls, w: "WeightQBitsArray", k_shards: int = 1
+    ) -> Optional["WeightQBitsTpuArray"]:
         from ..ops.pallas.qbits_mm import pack_for_kernel
 
-        if w.axis != 0 or not cls.eligible(w.orig_shape, w.qtype.bits, w.group_size):
+        if w.axis != 0 or not cls.eligible(w.orig_shape, w.qtype.bits, w.group_size, k_shards):
             return None
         N, K = w.orig_shape
         gs = w.group_size if w.group_size is not None else K
@@ -243,13 +262,36 @@ class WeightQBitsTpuArray(QArray):
             # Integer zero-point: deq = scale*(code - zp) = scale*code - scale*zp.
             shift = scale * shift.astype(jnp.float32).reshape(N, G)
         return cls(
-            _packed=pack_for_kernel(codes, w.qtype.bits),
+            _packed=pack_for_kernel(codes, w.qtype.bits, k_shards),
             _scale_t=scale.T,
             _shift_t=shift.T,
             qtype=w.qtype,
             group_size=w.group_size,
             orig_shape=tuple(w.orig_shape),
             float_dtype=w.float_dtype,
+            k_shards=k_shards,
+        )
+
+    def repack(self, k_shards: int) -> Optional["WeightQBitsTpuArray"]:
+        """Re-pack the payload with a different K-block count (scale/shift
+        arrays are reused unchanged — only the payload layout moves)."""
+        from ..ops.pallas.qbits_mm import pack_for_kernel, unpack_split_half
+
+        if k_shards == self.k_shards:
+            return self
+        if not self.eligible(self.orig_shape, self.qtype.bits, self.group_size, k_shards):
+            return None
+        N, K = self.orig_shape
+        codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards)
+        return WeightQBitsTpuArray(
+            _packed=pack_for_kernel(codes, self.qtype.bits, k_shards),
+            _scale_t=self._scale_t,
+            _shift_t=self._shift_t,
+            qtype=self.qtype,
+            group_size=self.group_size,
+            orig_shape=self.orig_shape,
+            float_dtype=self.float_dtype,
+            k_shards=k_shards,
         )
 
     @classmethod
@@ -318,7 +360,7 @@ class WeightQBitsTpuArray(QArray):
 
         N, K = self.orig_shape
         gs = self.group_size
-        codes = unpack_split_half(self._packed, self.qtype.bits, K)
+        codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards)
         if gs is not None:
             codes = group(codes, 0, gs)
             scale = self._scale_t.T.reshape(-1, 1).astype(self.float_dtype)
@@ -351,7 +393,9 @@ class WeightQBitsTpuArray(QArray):
 
         N, K = self.orig_shape
         gs = self.group_size if self.group_size is not None else K
-        codes = unpack_split_half(self._packed, self.qtype.bits, K).astype(jnp.float32)
+        codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards).astype(
+            jnp.float32
+        )
         scale = jnp.repeat(self._scale_t.T, gs, axis=1)
         shift = jnp.repeat(self._shift_t.T, gs, axis=1)
         return (codes * scale - shift).astype(self.float_dtype)

@@ -294,3 +294,89 @@ def test_w4a8_prefill_kernel_matches_oracle(bits):
     ref = qx.dequantize() @ qw.dequantize().T
     # f32 accumulation order differs across K tiles vs the one-shot oracle
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k_shards", [2, 4])
+@pytest.mark.parametrize("bits", [2, 4])
+def test_block_local_pack_roundtrip(bits, k_shards):
+    """Block-local (k_shards > 1) payloads round-trip and each column block
+    is a standalone packing of its contiguous K block (the property
+    row-parallel TP sharding relies on)."""
+    k = jax.random.PRNGKey(3)
+    K = 2048
+    codes = jax.random.randint(k, (128, K), 0, 2**bits, jnp.uint8)
+    packed = pack_for_kernel(codes, bits, k_shards)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_split_half(packed, bits, K, k_shards)), np.asarray(codes)
+    )
+    kp_b = packed.shape[1] // k_shards
+    kb = K // k_shards
+    for b in range(k_shards):
+        block = packed[:, b * kp_b : (b + 1) * kp_b]
+        block_codes = codes[:, b * kb : (b + 1) * kb]
+        np.testing.assert_array_equal(
+            np.asarray(block), np.asarray(pack_for_kernel(block_codes, bits))
+        )
+
+
+@pytest.mark.parametrize("m", [8, 600])
+@pytest.mark.parametrize("k_shards", [2, 4])
+def test_qbits_kernel_block_local_matches_oracle(k_shards, m):
+    """Decode and prefill kernel routes on the block-local layout."""
+    qw = random_qweight((256, 2048), qt.qint4, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw, k_shards=k_shards)
+    assert tpu is not None and tpu.k_shards == k_shards
+    x = random_tensor((m, 2048), key=jax.random.PRNGKey(2))
+    with jax.default_matmul_precision("float32"):
+        out = qbits_matmul_kernel_call(
+            x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128,
+            k_shards=k_shards, interpret=True,
+        )
+        assert out is not None
+        ref = x @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-3)
+
+
+def test_repack_between_k_shards():
+    """repack() moves between block counts without touching scale/shift."""
+    qw = random_qweight((256, 2048), qt.qint4, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw)
+    r4 = tpu.repack(4)
+    assert r4 is not None and r4.k_shards == 4
+    assert r4._scale_t is tpu._scale_t and r4._shift_t is tpu._shift_t
+    np.testing.assert_allclose(
+        np.asarray(r4.dequantize()), np.asarray(tpu.dequantize()), rtol=0, atol=0
+    )
+    back = r4.repack(1)
+    np.testing.assert_array_equal(np.asarray(back._packed), np.asarray(tpu._packed))
+    # to_generic from a block-local layout is still bit-exact on the codes.
+    np.testing.assert_array_equal(
+        np.asarray(r4.to_generic()._data.packed_data),
+        np.asarray(qw._data.packed_data),
+    )
+    # Ineligible block counts refuse (gs=128 needs kp_b % gs == 0).
+    assert tpu.repack(32) is None
+
+
+def test_w4a8_kernel_block_local():
+    from quanto_tpu.ops.pallas.qbits_mm import qbits_int8_matmul_kernel_call
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import quantize_weight
+    from quanto_tpu.tensor.activations import quantize_activation
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 1024), jnp.float32)
+    x = jnp.asarray(rng.randn(8, 1024), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw, k_shards=2)
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+    with jax.default_matmul_precision("float32"):
+        out = qbits_int8_matmul_kernel_call(
+            qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
+            4, 128, jnp.float32, k_shards=2, interpret=True,
+        )
+        assert out is not None
+        ref = qx.dequantize() @ qw.dequantize().T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4)
