@@ -27,7 +27,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _mesh_active() -> bool:
+def mesh_active() -> bool:
     """True inside a `with Mesh(...)` context (sharded execution)."""
     try:
         from jax.interpreters import pxla
@@ -37,12 +37,17 @@ def _mesh_active() -> bool:
         return False
 
 
+_mesh_active = mesh_active  # back-compat alias
+
+
 def _single_device_ok() -> bool:
-    """Pallas kernels have no partitioning rule: allow them on a single
-    device, or on multi-device hosts as long as no Mesh context is active
-    (unsharded arrays run on one device; under a mesh XLA would have to
-    all-gather the kernel operands)."""
-    return jax.device_count() == 1 or not _mesh_active()
+    """Pallas kernels without a partitioning rule run on a single device, or
+    on multi-device hosts as long as no Mesh context is active (unsharded
+    arrays run on one device; under a mesh XLA would have to all-gather the
+    kernel operands). The qbits matmul no longer needs this gate — its
+    custom_partitioning wrapper (`ops/pallas/qbits_mm_sharded.py`) gives it
+    per-shard lowering under a mesh."""
+    return jax.device_count() == 1 or not mesh_active()
 
 
 def set_backend(
@@ -61,7 +66,9 @@ def use_pallas_qbits() -> bool:
         return False
     if _STATE["pallas_qbits"] is not None:
         return _STATE["pallas_qbits"]
-    return _on_tpu() and _single_device_ok()
+    # Mesh-safe: under an active Mesh the qlinear dispatch routes through the
+    # custom_partitioning wrapper instead of the raw pallas_call.
+    return _on_tpu()
 
 
 def use_pallas_qbytes() -> bool:

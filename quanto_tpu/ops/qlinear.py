@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from .qbytes_mm import qbytes_mm
@@ -43,6 +44,18 @@ def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
     from ..tensor.weights import WeightQBitsTpuArray
 
     if isinstance(w, WeightQBitsTpuArray) and config.use_pallas_qbits():
+        if config.mesh_active() and jax.device_count() > 1:
+            # Sharded execution: the custom_partitioning wrapper runs the
+            # kernel per device on its local shard (column-parallel N shards,
+            # row-parallel block-local K shards + psum, or replicated).
+            from .pallas.qbits_mm_sharded import qbits_mm_partitioned
+
+            out = qbits_mm_partitioned(
+                x, w._packed, w._scale_t, w._shift_t,
+                w.qtype.bits, w.group_size,
+                k_shards=w.k_shards, interpret=config.pallas_interpret(),
+            )
+            return out.astype(x.dtype)
         from .pallas.qbits_mm import qbits_matmul_kernel_call
 
         out = qbits_matmul_kernel_call(
@@ -91,6 +104,20 @@ def qlinear(
                 and config.use_pallas_qbits()
             ):
                 from ..tensor.activations import mark_quantized_use
+
+                if config.mesh_active() and jax.device_count() > 1:
+                    from .pallas.qbits_mm_sharded import qbits_mm_partitioned
+
+                    out = qbits_mm_partitioned(
+                        x.data, w._packed, w._scale_t, w._shift_t,
+                        w.qtype.bits, w.group_size,
+                        k_shards=w.k_shards, interpret=config.pallas_interpret(),
+                    )
+                    out = (out * jnp.asarray(x.scale, jnp.float32)).astype(w.float_dtype)
+                    mark_quantized_use(x)
+                    if bias is not None:
+                        out = out + bias
+                    return out
                 from .pallas.qbits_mm import qbits_int8_matmul_kernel_call
 
                 out = qbits_int8_matmul_kernel_call(
