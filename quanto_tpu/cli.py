@@ -44,18 +44,37 @@ def cmd_quantize(args) -> int:
         from_pretrained_float,
     )
 
-    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
+    if args.dtype == "auto":
+        # Reference `--torch_dtype auto` (`commands/quantize.py:74-80`):
+        # take the checkpoint's own dtype from config.json.
+        from .models.hub import resolve_model_path
+
+        directory = resolve_model_path(args.model, revision=args.revision, cache_dir=args.cache_dir)
+        with open(os.path.join(directory, "config.json")) as f:
+            declared = json.load(f).get("torch_dtype", "bfloat16")
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.bfloat16}.get(
+            declared, jnp.bfloat16
+        )
+    else:
+        dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
     print(f"loading float model from {args.model} ...", file=sys.stderr)
-    model = from_pretrained_float(args.model, dtype=dtype)
+    model = from_pretrained_float(
+        args.model, dtype=dtype, revision=args.revision, cache_dir=args.cache_dir
+    )
     weights = _to_qtype_name(args.weights)
     activations = None if args.activations == "none" else _to_qtype_name(args.activations)
     print(f"quantizing weights={weights} activations={activations} ...", file=sys.stderr)
     model_type = getattr(getattr(model, "_hf_config", None), "model_type", None)
-    wrapper = (
-        QuantizedModelForSeq2SeqLM
-        if model_type in ("t5", "mt5", "whisper")
-        else QuantizedModelForCausalLM
-    )
+    if args.task == "text2text-generation":
+        wrapper = QuantizedModelForSeq2SeqLM
+    elif args.task == "text-generation":
+        wrapper = QuantizedModelForCausalLM
+    else:  # auto: infer from the architecture family
+        wrapper = (
+            QuantizedModelForSeq2SeqLM
+            if model_type in ("t5", "mt5", "whisper")
+            else QuantizedModelForCausalLM
+        )
     qmodel = wrapper.quantize(
         model,
         weights=weights,
@@ -107,10 +126,22 @@ def main(argv=None) -> int:
 
     q = sub.add_parser("quantize", help="Quantize a Hugging Face checkpoint")
     q.add_argument("output", help="output directory")
-    q.add_argument("-m", "--model", required=True, help="local HF checkpoint directory")
+    q.add_argument(
+        "-m", "--model", required=True,
+        help="local HF checkpoint directory or hub id (resolved via models.hub)",
+    )
     q.add_argument("--weights", choices=WEIGHT_CHOICES, default="int8")
     q.add_argument("--activations", choices=ACTIVATION_CHOICES, default="none")
-    q.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    q.add_argument("--dtype", choices=["auto", "bf16", "fp32"], default="bf16",
+                   help="'auto' reads torch_dtype from config.json (reference --torch_dtype auto)")
+    q.add_argument("--revision", default=None,
+                   help="hub revision (tag/branch/commit) when -m is a hub id")
+    q.add_argument("--cache-dir", default=None, help="hub cache directory")
+    q.add_argument("--trust-remote-code", action="store_true",
+                   help="accepted for reference-CLI parity; quanto_tpu ships its own "
+                   "NNX architectures, so no remote code is ever executed")
+    q.add_argument("--task", choices=["auto", "text-generation", "text2text-generation"],
+                   default="auto", help="model head selection (reference --task)")
     q.add_argument("--include", action="append", help="fnmatch pattern(s) to include")
     q.add_argument("--exclude", action="append", help="fnmatch pattern(s) to exclude")
     q.set_defaults(fn=cmd_quantize)

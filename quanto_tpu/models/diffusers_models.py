@@ -69,9 +69,14 @@ class QuantizedDiffusersModel:
         return cls(model)
 
     @classmethod
-    def from_pretrained(cls, directory: str, dtype=jnp.float32) -> "QuantizedDiffusersModel":
+    def from_pretrained(
+        cls, name_or_path: str, dtype=jnp.float32, revision=None, cache_dir=None
+    ) -> "QuantizedDiffusersModel":
         if cls.base_class is None:
             raise ValueError("Quantized models must subclass with a base_class attribute")
+        from .hub import resolve_model_path
+
+        directory = resolve_model_path(name_or_path, revision=revision, cache_dir=cache_dir)
         qmap_path = os.path.join(directory, QMAP_NAME)
         if not os.path.exists(qmap_path):
             raise ValueError(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..quantize import freeze as freeze_model
 from ..quantize import get_module_by_name, quantization_map, quantize, set_module_by_name
 from ..nn.qmodule import quantize_module
-from ..utils.safetensors_io import LazySafetensors, load_file, save_file
+from ..utils.safetensors_io import LazySafetensors, load_file, save_file, save_sharded
 from .loading import hf_state_dict, load_hf_state_dict
 
 
@@ -545,8 +545,17 @@ def _load_tensors(directory: str):
     raise FileNotFoundError(f"No model.safetensors(.index.json) found in {directory}")
 
 
-def from_pretrained_float(directory: str, dtype=jnp.bfloat16):
-    """Load a FLOAT Hugging Face checkpoint into our NNX implementation."""
+def from_pretrained_float(
+    name_or_path: str, dtype=jnp.bfloat16, revision=None, cache_dir=None
+):
+    """Load a FLOAT Hugging Face checkpoint into our NNX implementation.
+
+    Accepts a local directory or a hub-id-shaped name resolved through
+    `models.hub.resolve_model_path` (reference `ModelHubMixin.from_pretrained`,
+    `transformers_models.py:114-127`)."""
+    from .hub import resolve_model_path
+
+    directory = resolve_model_path(name_or_path, revision=revision, cache_dir=cache_dir)
     hf_config = _load_config(directory)
     model = _build_from_hf_config(hf_config, dtype=dtype)
     tensors = _load_tensors(directory)
@@ -594,9 +603,15 @@ class QuantizedTransformersModel:
         return cls(model)
 
     @classmethod
-    def from_pretrained(cls, directory: str, dtype=jnp.bfloat16) -> "QuantizedTransformersModel":
+    def from_pretrained(
+        cls, name_or_path: str, dtype=jnp.bfloat16, revision=None, cache_dir=None
+    ) -> "QuantizedTransformersModel":
         """Reload a quantized model saved by `save_pretrained` (ours or the
-        torch reference's; reference `transformers_models.py:114-163`)."""
+        torch reference's; reference `transformers_models.py:114-163`).
+        Accepts a local directory or a hub id (resolved via `models.hub`)."""
+        from .hub import resolve_model_path
+
+        directory = resolve_model_path(name_or_path, revision=revision, cache_dir=cache_dir)
         qmap_path = os.path.join(directory, QMAP_NAME)
         if not os.path.exists(qmap_path):
             raise ValueError(
@@ -622,9 +637,19 @@ class QuantizedTransformersModel:
         model._hf_config = hf_config
         return cls(model)
 
-    def save_pretrained(self, directory: str) -> None:
+    def save_pretrained(
+        self,
+        directory: str,
+        max_shard_size: str | int = "5GB",
+        push_to_hub: bool = False,
+        repo_id: str | None = None,
+    ) -> None:
         """Write config.json, quanto_qmap.json and model.safetensors
-        (reference `transformers_models.py:165-179`)."""
+        (reference `transformers_models.py:165-179`). Checkpoints larger
+        than `max_shard_size` split into model-XXXXX-of-XXXXX.safetensors
+        shards with a model.safetensors.index.json (the transformers
+        convention; our loader and the reference's ShardedStateDict both
+        read it)."""
         os.makedirs(directory, exist_ok=True)
         hf_config = getattr(self._wrapped, "_hf_config", None)
         if hf_config is None:
@@ -635,7 +660,28 @@ class QuantizedTransformersModel:
             hf_config.save_pretrained(directory)
         with open(os.path.join(directory, QMAP_NAME), "w") as f:
             json.dump(quantization_map(self._wrapped), f, indent=2)
-        save_file(hf_state_dict(self._wrapped), os.path.join(directory, "model.safetensors"))
+        save_sharded(hf_state_dict(self._wrapped), directory, max_shard_size)
+        if push_to_hub:
+            self._push_to_hub(directory, repo_id)
+
+    def _push_to_hub(self, directory: str, repo_id: str | None) -> None:
+        """Upload a saved checkpoint (reference ModelHubMixin.push_to_hub).
+        Requires network access and `huggingface_hub`; raises a clean error
+        offline instead of hanging."""
+        if repo_id is None:
+            raise ValueError("push_to_hub=True requires repo_id")
+        from .hub import _offline
+
+        if _offline():
+            raise RuntimeError(
+                "push_to_hub requested but this environment is offline "
+                "(QUANTO_TPU_OFFLINE/HF_HUB_OFFLINE set)."
+            )
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:
+            raise RuntimeError("push_to_hub requires huggingface_hub") from e
+        HfApi().upload_folder(folder_path=directory, repo_id=repo_id)
 
 
 class QuantizedModelForCausalLM(QuantizedTransformersModel):

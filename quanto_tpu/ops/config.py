@@ -17,6 +17,7 @@ _STATE = {
     "pallas_qbits": None,  # None = auto
     "pallas_qbytes": None,
     "flash_decode": None,
+    "fp8_dot": None,
 }
 
 
@@ -54,11 +55,13 @@ def set_backend(
     pallas_qbits: bool | None = None,
     pallas_qbytes: bool | None = None,
     flash_decode: bool | None = None,
+    fp8_dot: bool | None = None,
 ) -> None:
-    """Force Pallas kernels on/off (None restores auto-detection)."""
+    """Force Pallas kernels / fp8-dot on/off (None restores auto-detection)."""
     _STATE["pallas_qbits"] = pallas_qbits
     _STATE["pallas_qbytes"] = pallas_qbytes
     _STATE["flash_decode"] = flash_decode
+    _STATE["fp8_dot"] = fp8_dot
 
 
 def use_pallas_qbits() -> bool:
@@ -100,3 +103,63 @@ def use_flash_decode() -> bool:
 def pallas_interpret() -> bool:
     """Run Pallas kernels in interpreter mode off-TPU (CPU tests)."""
     return not _on_tpu()
+
+
+# --- TPU generation capability table -----------------------------------------
+#
+# The analogue of the reference's per-device extension gating
+# (`optimum/quanto/library/extensions/__init__.py:20-44`, and the
+# sm>=8.0/sm>=8.9 checks inside `tensor/weights/qbits.py:94-138` /
+# `marlin/fp8/qbits.py`): capabilities keyed on the TPU generation parsed
+# from `device_kind`.
+#
+# fp8 matmul: v5e has no fp8 datapath — fp8 operands convert on the VPU and
+# a "native" fp8 dot is strictly slower than the convert-fused path
+# (measured, RESULTS.md "fp8 closure"). v6e (Trillium) and later advertise
+# native fp8 MXU support, v5p runs fp8 dots at the int8 rate through XLA;
+# hardware validation is deferred until such a chip is reachable — flip the
+# entry (or set QUANTO_TPU_FP8_DOT=1 / `set_backend(fp8_dot=True)`) to
+# enable on measured-good hardware.
+_FP8_DOT_GENERATIONS = {
+    "v5e": False,  # measured: VPU convert path wins (RESULTS.md)
+    "v5p": True,
+    "v6e": True,
+    "v6p": True,
+    "v7": True,
+}
+
+
+def tpu_generation() -> str | None:
+    """Normalized TPU generation ("v5e", "v5p", "v6e", ...) or None off-TPU."""
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    # device_kind examples: "TPU v5 lite" (v5e), "TPU v5p", "TPU v6 lite"
+    # / "TPU v6e" (trillium), "TPU7x".
+    kind = kind.replace("tpu", "").strip()
+    for gen in ("v7", "v6e", "v6p", "v5e", "v5p", "v4", "v3", "v2"):
+        if gen in kind:
+            return gen
+    if "v6" in kind:
+        return "v6e" if "lite" in kind else "v6p"
+    if "v5" in kind:
+        return "v5e" if "lite" in kind else "v5p"
+    if "7x" in kind:
+        return "v7"
+    return kind or None
+
+
+def use_native_fp8_dot() -> bool:
+    """True when fp8 x fp8 `lax.dot_general` should run with fp8 operand
+    types (native fp8 MXU datapath) instead of the convert-fused float path.
+    """
+    env = os.environ.get("QUANTO_TPU_FP8_DOT")
+    if env is not None:
+        return env.lower() in ("1", "true", "yes", "on")
+    if _STATE["fp8_dot"] is not None:
+        return _STATE["fp8_dot"]
+    gen = tpu_generation()
+    return bool(gen and _FP8_DOT_GENERATIONS.get(gen, "v6" in gen or "v7" in gen))

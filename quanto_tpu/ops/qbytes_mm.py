@@ -47,6 +47,13 @@ def fp8_e4m3_to_float_bittrick(w: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.nd
     return jnp.where((b & 0x78) == 0, fix, n).astype(out_dtype)
 
 
+_FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e4m3fnuz, jnp.float8_e5m2)
+
+
+def _is_fp8(dtype) -> bool:
+    return any(dtype == d for d in _FP8_DTYPES)
+
+
 def _dot_last_dim(a: jnp.ndarray, b_t: jnp.ndarray, preferred_element_type):
     """a[..., k] @ b_t[k, n] contraction over the last dim of a."""
     return lax.dot_general(
@@ -94,9 +101,19 @@ def qbytes_mm(
     if activations.dtype == jnp.int8 and weights.dtype == jnp.int8:
         return qbytes_int_mm(activations, weights, output_scales)
     out_dtype = output_scales.dtype
+    scales = output_scales.T if output_scales.ndim == 2 else output_scales
+    if _is_fp8(activations.dtype) and _is_fp8(weights.dtype):
+        from . import config
+
+        if config.use_native_fp8_dot():
+            # Wf8Af8 on the fp8 MXU datapath: both payloads stay fp8 through
+            # the dot (generation-gated — see `config._FP8_DOT_GENERATIONS`;
+            # the reference's fp8 kernel tier analogue,
+            # `tensor/weights/marlin/fp8/qbits.py:28-51`).
+            out = _dot_last_dim(activations, weights.T, jnp.float32)
+            return (out * scales.astype(jnp.float32)).astype(out_dtype)
     activations = activations.astype(out_dtype)
     if weights.dtype == jnp.float8_e4m3fn and FP8_DECODE == "bittrick":
         weights = fp8_e4m3_to_float_bittrick(weights, out_dtype)
     out = _dot_last_dim(activations, weights.T.astype(out_dtype), jnp.float32)
-    scales = output_scales.T if output_scales.ndim == 2 else output_scales
     return (out * scales.astype(jnp.float32)).astype(out_dtype)

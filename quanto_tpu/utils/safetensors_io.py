@@ -199,3 +199,68 @@ class LazySafetensors:
             f.seek(8 + header_len + start)
             raw = f.read(end - start)
         return jnp.asarray(np.frombuffer(raw, dtype=np_dtype).reshape(info["shape"]))
+
+
+_SIZE_UNITS = {"KB": 2**10, "MB": 2**20, "GB": 2**30, "TB": 2**40}
+
+
+def _parse_size(size) -> int:
+    if isinstance(size, int):
+        return size
+    s = str(size).strip().upper()
+    for unit, mult in _SIZE_UNITS.items():
+        if s.endswith(unit):
+            return int(float(s[: -len(unit)]) * mult)
+    return int(s)
+
+
+def save_sharded(
+    tensors: Dict[str, "np.ndarray | jnp.ndarray"],
+    directory: str,
+    max_shard_size="5GB",
+    base_name: str = "model",
+) -> None:
+    """Write `tensors` as a single safetensors file, or — above
+    `max_shard_size` — as transformers-convention shards
+    (`model-00001-of-0000N.safetensors` + `model.safetensors.index.json`).
+    The reference reads such checkpoints through its lazy `ShardedStateDict`
+    (`optimum/quanto/models/shared_dict.py:22-53`); ours through
+    `LazySafetensors.from_files`. Stale artifacts of the other form are
+    removed so a directory never holds both."""
+    import os
+
+    limit = _parse_size(max_shard_size)
+    single_path = os.path.join(directory, f"{base_name}.safetensors")
+    index_path = single_path + ".index.json"
+    sizes = {name: _to_numpy(t).nbytes for name, t in tensors.items()}
+    if sum(sizes.values()) <= limit:
+        save_file(tensors, single_path)
+        if os.path.exists(index_path):
+            os.remove(index_path)
+        return
+    shards = [[]]
+    shard_bytes = 0
+    for name in tensors:
+        if shards[-1] and shard_bytes + sizes[name] > limit:
+            shards.append([])
+            shard_bytes = 0
+        shards[-1].append(name)
+        shard_bytes += sizes[name]
+    n = len(shards)
+    weight_map = {}
+    for i, names in enumerate(shards, start=1):
+        fname = f"{base_name}-{i:05d}-of-{n:05d}.safetensors"
+        save_file({k: tensors[k] for k in names}, os.path.join(directory, fname))
+        for k in names:
+            weight_map[k] = fname
+    with open(index_path, "w") as f:
+        json.dump(
+            {
+                "metadata": {"total_size": sum(sizes.values())},
+                "weight_map": weight_map,
+            },
+            f,
+            indent=2,
+        )
+    if os.path.exists(single_path):
+        os.remove(single_path)

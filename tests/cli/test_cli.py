@@ -91,3 +91,38 @@ def test_cli_quantize_t5(capsys):
         a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99
+
+
+def test_cli_hub_id_and_parity_flags(monkeypatch, tmp_path):
+    """Reference-CLI parity (`subpackage/commands/quantize.py:33-88`):
+    -m accepts a hub id (resolved via the offline cache), --revision picks
+    the snapshot, --dtype auto reads torch_dtype from config.json, and
+    --trust-remote-code/--task are accepted."""
+    commit = "deadbeef01"
+    repo = tmp_path / "cache" / "models--org--tiny" 
+    snap = repo / "snapshots" / commit
+    snap.mkdir(parents=True)
+    (repo / "refs").mkdir()
+    (repo / "refs" / "main").write_text(commit)
+    model = _write_float_checkpoint(str(snap))
+    # declare fp32 in config.json for --dtype auto
+    cfg_path = snap / "config.json"
+    cfg = json.loads(cfg_path.read_text())
+    cfg["torch_dtype"] = "float32"
+    cfg_path.write_text(json.dumps(cfg))
+    monkeypatch.setenv("QUANTO_TPU_HF_CACHE", str(tmp_path / "cache"))
+    monkeypatch.setenv("QUANTO_TPU_OFFLINE", "1")
+
+    dst = str(tmp_path / "out")
+    rc = cli_main([
+        "quantize", dst, "-m", "org/tiny", "--revision", "main",
+        "--weights", "int8", "--dtype", "auto", "--exclude", "lm_head",
+        "--trust-remote-code", "--task", "text-generation",
+    ])
+    assert rc == 0
+    reloaded = QuantizedModelForCausalLM.from_pretrained(dst, dtype=jnp.float32)
+    ids = jnp.asarray(np.array([[1, 5, 17]], dtype=np.int64))
+    ref, _ = model(ids)
+    out, _ = reloaded(ids)
+    a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+    assert a @ b / (np.linalg.norm(a) * np.linalg.norm(b)) > 0.99
