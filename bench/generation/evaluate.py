@@ -41,12 +41,17 @@ def main():
     from quanto_tpu.models import LlamaConfig, LlamaForCausalLM, from_pretrained_float
 
     sys.path.insert(0, "bench")
+    from generation.fidelity import logits_fidelity, weight_sqnr_db
     from generation.latency import decode_latency
     from generation.perplexity import perplexity, synthetic_tokens
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default=None, help="local HF checkpoint dir")
-    p.add_argument("--metric", choices=["ppl", "latency", "all"], default="all")
+    p.add_argument(
+        "--metric", choices=["ppl", "latency", "fidelity", "all"], default="all",
+        help="fidelity = per-layer weight SQNR + logits KL / top-k agreement "
+        "vs the float model (sensitive even with random weights)",
+    )
     p.add_argument("--tokens", type=int, default=16384)
     p.add_argument("--small", action="store_true", help="tiny model (CPU smoke)")
     args = p.parse_args()
@@ -68,21 +73,29 @@ def main():
 
     probe = fresh_model()
     vocab = probe.config.vocab_size
-    del probe
     tokens = synthetic_tokens(vocab, args.tokens)
     window = 256 if args.small else 512
+    fidelity = args.metric in ("fidelity", "all")
+    float_ref = probe if fidelity else None
+    del probe
     results = {}
     float_ppl = None
     for name, weights, activations in CONFIGS:
         model = fresh_model()
+        row = {}
         if weights is not None:
             qt.quantize(model, weights=weights, activations=activations, exclude="lm_head")
             if activations is not None:
                 ids = np.stack([tokens[i * 128 : (i + 1) * 128] for i in range(4)])
                 with qt.Calibration(model):
                     model(jnp.asarray(ids.astype(np.int32)))
+            if fidelity:
+                sqnr = weight_sqnr_db(model)
+                row["sqnr_min"] = min(sqnr.values())
+                row["sqnr_mean"] = float(np.mean(list(sqnr.values())))
             qt.freeze(model)
-        row = {}
+            if fidelity:
+                row.update(logits_fidelity(model, float_ref, tokens))
         if args.metric in ("ppl", "all"):
             row["ppl"] = perplexity(model, tokens, window=window, context=window // 2)
             if name == "bf16":

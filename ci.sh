@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# CI entry point: full CPU test suite, parallelized so it fits in <10 min
+# (reference CI analogue: .github/workflows/linux-cpu-tests.yml:23-55).
+# Tests force JAX_PLATFORMS=cpu with an 8-device virtual mesh themselves
+# (tests/conftest.py), so this is safe on any host, TPU-attached or not.
+set -euo pipefail
+cd "$(dirname "$0")"
+python -m pytest tests/ -q -n "${PYTEST_WORKERS:-auto}" --dist loadfile "$@"
