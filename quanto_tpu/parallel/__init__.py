@@ -1,4 +1,5 @@
 from .distributed import global_mesh, initialize
+from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
 from .moe import EPSparseMoeBlock, convert_moe_to_ep
 from .sharding import (
     DEEPSEEK_V3_TP_RULES,

@@ -1,0 +1,253 @@
+"""Failure detection and checkpoint-based elastic recovery.
+
+The torch reference has no robustness surface at all (SURVEY.md §5.3); the
+multi-host serving/training north star needs one. TPU failure semantics
+shape the design: a dead host does not error its peers — it HANGS their
+collectives — so detection is (a) local progress watchdogs and (b) timed
+cross-host barrier probes, and recovery is process restart + reload from
+the latest atomic checkpoint (the standard TPU-pod pattern: the scheduler
+re-execs the job; elasticity means losing at most `interval` steps, not
+reconfiguring the mesh live).
+
+Components:
+- `ElasticCheckpointer`: periodic atomic checkpoints (write-to-tmp + rename)
+  of a quantized NNX model + a small JSON state (step, rng, engine cursor),
+  with `latest()` discovery and `restore()` via the quantized state_dict
+  (repack-on-load kernel layouts included). Multi-host: only process 0
+  writes; all processes restore the same bytes.
+- `Watchdog`: a progress watchdog thread — `beat()` every step; if no beat
+  arrives within `timeout`, runs `on_stall` (default: log + SIGABRT so the
+  supervisor restarts this host rather than hanging the whole slice).
+- `barrier_probe`: a timed all-process barrier; False = some peer is
+  unreachable (run it from a health loop or before checkpointing).
+- `supervise`: in-process supervision loop for a step function — on
+  failure, restores the latest checkpoint and resumes, up to max_failures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import sys
+import tempfile
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+__all__ = ["ElasticCheckpointer", "Watchdog", "barrier_probe", "supervise"]
+
+
+def _log(msg: str) -> None:
+    print(f"[quanto_tpu.elastic] {msg}", file=sys.stderr, flush=True)
+
+
+class ElasticCheckpointer:
+    """Periodic atomic checkpoints of a quantized model + user state.
+
+    Layout: `<root>/step_<N>/` containing `model.safetensors` (the
+    kernel-agnostic quantized state dict, `serialization.state_dict`) and
+    `state.json` (step + any JSON-serializable user payload). A checkpoint
+    directory appears atomically (tmp dir + rename), so a crash mid-write
+    never corrupts `latest()`. Old checkpoints beyond `keep` are pruned.
+    """
+
+    def __init__(self, root: str, interval_steps: int = 100, keep: int = 2):
+        self.root = root
+        self.interval = max(int(interval_steps), 1)
+        self.keep = max(int(keep), 1)
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            os.makedirs(root, exist_ok=True)
+
+    # -- discovery ------------------------------------------------------
+
+    def _steps(self):
+        if not os.path.isdir(self.root):
+            return []
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("step_"):
+                try:
+                    out.append(int(name.split("_", 1)[1]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest(self) -> Optional[int]:
+        steps = self._steps()
+        return steps[-1] if steps else None
+
+    def path(self, step: int) -> str:
+        return os.path.join(self.root, f"step_{step}")
+
+    # -- save -----------------------------------------------------------
+
+    def maybe_save(self, step: int, model, extra: Optional[Dict] = None) -> bool:
+        if step % self.interval != 0:
+            return False
+        self.save(step, model, extra)
+        return True
+
+    def save(self, step: int, model, extra: Optional[Dict] = None) -> None:
+        if not self._primary:
+            return  # non-primary hosts rely on process-0's checkpoint
+        from .. import serialization
+
+        final = self.path(step)
+        if os.path.exists(final):
+            return
+        tmp = tempfile.mkdtemp(prefix=f".step_{step}_", dir=self.root)
+        try:
+            serialization.save_file(model, os.path.join(tmp, "model.safetensors"))
+            with open(os.path.join(tmp, "state.json"), "w") as f:
+                json.dump({"step": step, "extra": extra or {}}, f)
+            os.rename(tmp, final)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        for old in self._steps()[: -self.keep]:
+            shutil.rmtree(self.path(old), ignore_errors=True)
+
+    # -- restore --------------------------------------------------------
+
+    def restore(self, model, step: Optional[int] = None) -> Dict:
+        """Load the checkpoint into `model` (in place, quantized layouts
+        repacked on load). Returns the saved state dict
+        {"step": int, "extra": {...}}."""
+        from .. import serialization
+
+        if step is None:
+            step = self.latest()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.root}")
+        d = self.path(step)
+        serialization.load_file(model, os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "state.json")) as f:
+            return json.load(f)
+
+
+class Watchdog:
+    """Progress watchdog: call `beat()` every step; if no beat lands within
+    `timeout_s`, `on_stall` runs once (default: log and abort the process so
+    the job scheduler restarts this host — a hung host stalls every peer's
+    collectives, so dying loudly IS the recovery action on TPU pods)."""
+
+    def __init__(
+        self,
+        timeout_s: float,
+        on_stall: Optional[Callable[[], None]] = None,
+        poll_s: Optional[float] = None,
+    ):
+        self.timeout = float(timeout_s)
+        self.on_stall = on_stall or self._default_stall
+        self._poll = poll_s if poll_s is not None else min(1.0, self.timeout / 4)
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self.stalled = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _default_stall():
+        _log("no progress within watchdog timeout; aborting for restart")
+        os.kill(os.getpid(), signal.SIGABRT)
+
+    def _run(self):
+        while not self._stop.wait(self._poll):
+            if time.monotonic() - self._last > self.timeout:
+                self.stalled = True
+                try:
+                    self.on_stall()
+                finally:
+                    return
+
+    def beat(self):
+        self._last = time.monotonic()
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=self._poll * 2 + 1)
+        return False
+
+
+def barrier_probe(timeout_s: float = 60.0) -> bool:
+    """Timed all-process liveness probe. True = every process reached the
+    barrier within the timeout; False = a peer is unreachable (its host is
+    down or hung). Runs a psum over all devices in a watchdog-guarded
+    thread so the caller is never wedged by a dead peer."""
+    if jax.process_count() == 1:
+        return True
+    import numpy as np
+    import jax.numpy as jnp
+
+    result = {"ok": False}
+
+    def probe():
+        try:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("quanto_tpu_barrier_probe")
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 - any failure means unhealthy
+            _log(f"barrier probe failed: {type(e).__name__}: {e}")
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    return result["ok"]
+
+
+def supervise(
+    step_fn: Callable[[int], None],
+    model,
+    checkpointer: ElasticCheckpointer,
+    *,
+    start_step: int = 0,
+    num_steps: int,
+    max_failures: int = 3,
+    extra_state: Optional[Dict] = None,
+    on_restore: Optional[Callable[[Dict], None]] = None,
+) -> int:
+    """Run `step_fn(step)` for `num_steps`, checkpointing through
+    `checkpointer` and recovering from failures by restoring the latest
+    checkpoint (at most `max_failures` times). Returns the final step.
+
+    This is the in-process half of elasticity (transient errors,
+    preemptions surfaced as exceptions); hard host failures go through
+    `Watchdog`'s abort-for-restart path and re-enter here via
+    `checkpointer.latest()` on the next exec.
+    """
+    resume = checkpointer.latest()
+    step = start_step
+    if resume is not None and resume >= start_step:
+        state = checkpointer.restore(model, resume)
+        step = state["step"] + 1
+        if on_restore is not None:
+            on_restore(state)
+        _log(f"resumed from checkpoint step {state['step']}")
+    failures = 0
+    while step < num_steps:
+        try:
+            step_fn(step)
+            checkpointer.maybe_save(step, model, extra_state)
+            step += 1
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _log(f"step {step} failed ({type(e).__name__}: {e}); failure {failures}/{max_failures}")
+            if failures > max_failures:
+                raise
+            resume = checkpointer.latest()
+            if resume is not None:
+                state = checkpointer.restore(model, resume)
+                step = state["step"] + 1
+                if on_restore is not None:
+                    on_restore(state)
+    return step
