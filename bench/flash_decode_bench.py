@@ -83,7 +83,10 @@ def main():
 
         # timing
         times = {}
-        for flag, name in [(False, "einsum"), (True, "kernel")]:
+        from quanto_tpu.ops import attention as attn_mod
+
+        for flag, name in [(False, "einsum"), (True, "kernel_v1"), (True, "kernel_v2")]:
+            attn_mod._VARIANT = name.split("_")[1] if flag else "auto"
             ops_config.set_backend(flash_decode=flag)
             decode = make_decode_fn(graphdef, args.new_tokens)
             cache = init_kv_cache(config, batch, ctx, kv_quant=kv_quant)
@@ -100,12 +103,16 @@ def main():
             times[name] = ms
             log(f"{tag} [{name}]: {ms:.2f} ms/step, {tps:.0f} tok/s")
         results[tag] = times
+        attn_mod._VARIANT = "auto"
         ops_config.set_backend()
 
     log("== summary ==")
     for tag, t in results.items():
-        log(f"{tag}: einsum {t['einsum']:.2f} ms -> kernel {t['kernel']:.2f} ms "
-            f"({t['einsum']/t['kernel']:.2f}x)")
+        log(
+            f"{tag}: einsum {t['einsum']:.2f} ms -> v1 {t['kernel_v1']:.2f} ms "
+            f"({t['einsum']/t['kernel_v1']:.2f}x) -> v2 {t['kernel_v2']:.2f} ms "
+            f"({t['einsum']/t['kernel_v2']:.2f}x)"
+        )
 
 
 if __name__ == "__main__":

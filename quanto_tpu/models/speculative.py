@@ -372,3 +372,68 @@ def speculative_generate(
         target, draft, k, temperature=temperature, top_k=top_k, top_p=top_p
     )
     return gen.generate(input_ids, max_new_tokens, cache_len=cache_len, key=key)
+
+
+def layerskip_draft(target, num_layers: int):
+    """Self-speculative (layer-skip) draft: a `num_layers`-deep copy of the
+    target SHARING its weights (embeddings, first `num_layers` transformer
+    layers, final norm, lm head) — zero extra HBM, ~num_layers/L of the
+    per-step weight traffic plus the head.
+
+    This is the "Draft & Verify" self-drafting recipe (Zhang et al., 2023):
+    no separate draft checkpoint, no training; the early-exit distribution
+    is a usable proposal because verification makes output quality
+    draft-independent (greedy: exact; sampling: exact in distribution).
+
+    Works for any family whose constructor is `type(target)(config, rngs=)`
+    with a dataclass config carrying `num_hidden_layers` and whose module
+    paths for kept weights are identical in the shallow model (true for the
+    llama family and its derivatives: layers are `model.layers[i]` and the
+    final `model.norm`/`lm_head` keep their names).
+
+    Returns the draft MODULE (weight-sharing); pass it as
+    `SpeculativeGenerator(target, draft=layerskip_draft(target, k), ...)`.
+    """
+    import dataclasses
+
+    from ..nn.qmodule import quantize_module
+    from ..quantize import get_module_by_name, quantization_map, set_module_by_name
+
+    cfg = dataclasses.replace(target.config, num_hidden_layers=num_layers)
+    qmap = quantization_map(target)
+
+    def build():
+        m = type(target)(cfg, rngs=nnx.Rngs(0))
+        # Mirror the target's quantized module structure (same recipe as
+        # `requantize`): graphdef paths must match for state grafting.
+        for name, c in qmap.items():
+            weights = None if c["weights"] == "none" else c["weights"]
+            activations = None if c["activations"] == "none" else c["activations"]
+            try:
+                mod = get_module_by_name(m, name)
+            except (AttributeError, KeyError, IndexError):
+                continue  # module lives in a dropped layer
+            qm = quantize_module(mod, weights=weights, activations=activations, optimizer=None)
+            if qm is not None:
+                set_module_by_name(m, name, qm)
+        return m
+
+    abstract = nnx.eval_shape(build)
+    d_graphdef, d_abs = nnx.split(abstract)
+    _, t_state = nnx.split(target)
+    t_flat = {tuple(p): v for p, v in t_state.flat_state()}
+    picked = []
+    missing = []
+    for p, _abs_v in d_abs.flat_state():
+        key = tuple(p)
+        if key in t_flat:
+            picked.append((key, t_flat[key]))
+        else:
+            missing.append(key)
+    if missing:
+        raise ValueError(
+            f"layerskip_draft: target state lacks paths {missing[:3]}... — "
+            "this family's shallow model is not path-compatible"
+        )
+    d_state = nnx.State.from_flat_path(picked)
+    return nnx.merge(d_graphdef, d_state)

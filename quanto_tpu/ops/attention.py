@@ -19,6 +19,14 @@ from . import config as ops_config
 
 __all__ = ["try_flash_decode"]
 
+# Bench/tuning knob: "v2" (full-row tile-aligned blocks), "v3" (multi-batch
+# grid steps + online-softmax S chunks; knobs _V3_BB/_V3_SB), "v1" (round-1
+# per-head-group blocks), "auto" = v3-then-v2-then-v1. Read at TRACE time
+# (rebuild jitted fns to pick up changes).
+_VARIANT = "auto"
+_V3_BB = 4
+_V3_SB = None
+
 
 def try_flash_decode(
     q: jnp.ndarray,
@@ -38,6 +46,8 @@ def try_flash_decode(
     from ..tensor.kv_cache import QKVCacheLayer
     from ..tensor.paged_kv import PagedKVLayer, paged_read_raw
     from .pallas.flash_decode import flash_decode_call
+    from .pallas.flash_decode2 import flash_decode2_call
+    from .pallas.flash_decode3 import flash_decode3_call
 
     B = q.shape[0]
     num_heads = q.shape[2]
@@ -52,9 +62,22 @@ def try_flash_decode(
         (kd, vd), (ks, vs) = new_cache, (None, None)
     pos_vec = jnp.broadcast_to(jnp.asarray(cache_pos).reshape(-1), (B,))
     qg = q.reshape(B, num_kv_heads, num_heads // num_kv_heads, head_dim)
-    out = flash_decode_call(
-        qg, kd, vd, ks, vs, pos_vec, interpret=ops_config.pallas_interpret()
-    )
+    # v2 (full-row tile-aligned cache blocks) first; v1 kept as fallback for
+    # shapes outside v2's envelope (e.g. Hkv*D not lane-aligned).
+    out = None
+    if _VARIANT in ("auto", "v3"):
+        out = flash_decode3_call(
+            qg, kd, vd, ks, vs, pos_vec,
+            bb=_V3_BB, sb=_V3_SB, interpret=ops_config.pallas_interpret(),
+        )
+    if out is None and _VARIANT in ("auto", "v2"):
+        out = flash_decode2_call(
+            qg, kd, vd, ks, vs, pos_vec, interpret=ops_config.pallas_interpret()
+        )
+    if out is None and _VARIANT in ("auto", "v1"):
+        out = flash_decode_call(
+            qg, kd, vd, ks, vs, pos_vec, interpret=ops_config.pallas_interpret()
+        )
     if out is None:
         return None
     return out.reshape(B, 1, num_heads * head_dim)

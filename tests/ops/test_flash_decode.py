@@ -145,3 +145,27 @@ def test_mha_model_decode_with_flash_kernel(family):
     finally:
         ops_config.set_backend()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("D", [64, 128], ids=["d64", "d128"])
+@pytest.mark.parametrize("quantized", [True, False], ids=["int8cache", "floatcache"])
+def test_flash_decode2_matches_einsum(quantized, D):
+    """v2 (full-row tile-aligned blocks, one grid step per batch element)."""
+    from quanto_tpu.ops.pallas.flash_decode2 import flash_decode2_call
+
+    q, k, v, ks, vs = _inputs(quantized=quantized, Hkv=8 if D == 64 else 2, D=D)
+    pos = jnp.asarray([255, 93], jnp.int32)
+    out = flash_decode2_call(q, k, v, ks, vs, pos, interpret=True)
+    assert out is not None
+    ref = _reference(q, k, v, ks, vs, pos)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_decode2_envelope():
+    from quanto_tpu.ops.pallas.flash_decode2 import flash_decode2_call
+
+    # Hkv*D below one lane tile -> out of envelope (v1 handles via padding
+    # rules or the dispatch falls back to the einsum path).
+    q, k, v, ks, vs = _inputs(quantized=False, Hkv=1, G=4, D=64)
+    pos = jnp.asarray([255, 93], jnp.int32)
+    assert flash_decode2_call(q, k, v, ks, vs, pos, interpret=True) is None
