@@ -44,12 +44,13 @@ def cmd_quantize(args) -> int:
         from_pretrained_float,
     )
 
+    from .models.hub import resolve_model_path
+
+    # Resolve once; everything downstream gets the local directory.
+    directory = resolve_model_path(args.model, revision=args.revision, cache_dir=args.cache_dir)
     if args.dtype == "auto":
         # Reference `--torch_dtype auto` (`commands/quantize.py:74-80`):
         # take the checkpoint's own dtype from config.json.
-        from .models.hub import resolve_model_path
-
-        directory = resolve_model_path(args.model, revision=args.revision, cache_dir=args.cache_dir)
         with open(os.path.join(directory, "config.json")) as f:
             declared = json.load(f).get("torch_dtype", "bfloat16")
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.bfloat16}.get(
@@ -58,9 +59,7 @@ def cmd_quantize(args) -> int:
     else:
         dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
     print(f"loading float model from {args.model} ...", file=sys.stderr)
-    model = from_pretrained_float(
-        args.model, dtype=dtype, revision=args.revision, cache_dir=args.cache_dir
-    )
+    model = from_pretrained_float(directory, dtype=dtype)
     weights = _to_qtype_name(args.weights)
     activations = None if args.activations == "none" else _to_qtype_name(args.activations)
     print(f"quantizing weights={weights} activations={activations} ...", file=sys.stderr)

@@ -65,6 +65,21 @@ def _hf_cache_dirs(cache_dir: Optional[str]):
     yield os.path.expanduser("~/.cache/huggingface/hub")
 
 
+def _snapshot_complete(path: str) -> bool:
+    """Heuristic completeness check so an interrupted download does not
+    shadow a working snapshot_download resume forever: a usable model
+    snapshot has a config.json and at least one weights file."""
+    if not os.path.isdir(path):
+        return False
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return False
+    has_config = "config.json" in names
+    has_weights = any(n.endswith(".safetensors") for n in names)
+    return has_config and has_weights
+
+
 def _lookup_cache(model_id: str, revision: Optional[str], cache_dir: Optional[str]):
     """Standard HF cache layout: models--{org}--{name}/snapshots/{commit}."""
     folder = "models--" + model_id.replace("/", "--")
@@ -79,10 +94,12 @@ def _lookup_cache(model_id: str, revision: Optional[str], cache_dir: Optional[st
                 with open(ref_path) as f:
                     commit = f.read().strip()
                 cand = os.path.join(snap_root, commit)
-                if os.path.isdir(cand):
+                if _snapshot_complete(cand):
                     return cand
             for snap in sorted(os.listdir(snap_root)):
-                if snap.startswith(revision):
+                if snap.startswith(revision) and _snapshot_complete(
+                    os.path.join(snap_root, snap)
+                ):
                     return os.path.join(snap_root, snap)
             continue
         snaps = sorted(
@@ -91,7 +108,7 @@ def _lookup_cache(model_id: str, revision: Optional[str], cache_dir: Optional[st
             reverse=True,
         )
         for snap in snaps:
-            if os.path.isdir(snap):
+            if _snapshot_complete(snap):
                 return snap
     return None
 

@@ -62,8 +62,9 @@ def try_flash_decode(
         (kd, vd), (ks, vs) = new_cache, (None, None)
     pos_vec = jnp.broadcast_to(jnp.asarray(cache_pos).reshape(-1), (B,))
     qg = q.reshape(B, num_kv_heads, num_heads // num_kv_heads, head_dim)
-    # v2 (full-row tile-aligned cache blocks) first; v1 kept as fallback for
-    # shapes outside v2's envelope (e.g. Hkv*D not lane-aligned).
+    # auto order: v3 (multi-batch grid + online softmax) first, then v2
+    # (full-row tile-aligned blocks), then v1 for shapes outside their
+    # envelopes (e.g. Hkv*D not lane-aligned).
     out = None
     if _VARIANT in ("auto", "v3"):
         out = flash_decode3_call(

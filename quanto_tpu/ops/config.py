@@ -115,11 +115,13 @@ def pallas_interpret() -> bool:
 #
 # fp8 matmul: v5e has no fp8 datapath — fp8 operands convert on the VPU and
 # a "native" fp8 dot is strictly slower than the convert-fused path
-# (measured, RESULTS.md "fp8 closure"). v6e (Trillium) and later advertise
-# native fp8 MXU support, v5p runs fp8 dots at the int8 rate through XLA;
-# hardware validation is deferred until such a chip is reachable — flip the
-# entry (or set QUANTO_TPU_FP8_DOT=1 / `set_backend(fp8_dot=True)`) to
-# enable on measured-good hardware.
+# (measured, RESULTS.md "fp8 closure"), so v5e defaults OFF. v6e (Trillium)
+# and later advertise native fp8 MXU support and v5p lowers fp8 dots through
+# XLA at the int8 rate, so those default ON — but no such chip has been
+# reachable from this environment, so the ON entries are UNVALIDATED design
+# defaults: measure on first contact and flip an entry (or set
+# QUANTO_TPU_FP8_DOT=0 / `set_backend(fp8_dot=False)`) if the convert path
+# wins there too.
 _FP8_DOT_GENERATIONS = {
     "v5e": False,  # measured: VPU convert path wins (RESULTS.md)
     "v5p": True,

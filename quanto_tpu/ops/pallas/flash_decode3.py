@@ -207,7 +207,6 @@ def flash_decode3_call(
         bb=bb, sb=sb, scale=D ** -0.5, hkv=Hkv, g=G, has_scales=has_scales,
         interpret=interpret,
     )
-    M = rows + m_pad
     out5 = out[:, :rows].reshape(B, Hkv, G, Hkv, D)
     res = jnp.einsum("bhgjd,hj->bhgd", out5, eye.astype(out5.dtype))
     return res.astype(q.dtype)

@@ -181,12 +181,16 @@ class Watchdog:
 def barrier_probe(timeout_s: float = 60.0) -> bool:
     """Timed all-process liveness probe. True = every process reached the
     barrier within the timeout; False = a peer is unreachable (its host is
-    down or hung). Runs a psum over all devices in a watchdog-guarded
-    thread so the caller is never wedged by a dead peer."""
+    down or hung). The barrier runs in a guarded thread so the CALLER is
+    never wedged by a dead peer.
+
+    A False result means "restart this job", not "carry on": the probe
+    thread stays parked inside the barrier (there is no way to cancel a
+    collective), so after a timeout this process's collective ordering can
+    no longer be trusted — treat the process as unhealthy and exit for the
+    scheduler to restart, the same action `Watchdog` takes on a stall."""
     if jax.process_count() == 1:
         return True
-    import numpy as np
-    import jax.numpy as jnp
 
     result = {"ok": False}
 
@@ -225,13 +229,29 @@ def supervise(
     `Watchdog`'s abort-for-restart path and re-enter here via
     `checkpointer.latest()` on the next exec.
     """
-    resume = checkpointer.latest()
-    step = start_step
-    if resume is not None and resume >= start_step:
+    if jax.process_count() > 1:
+        # In-process retry is unsound under SPMD: one host rewinding its
+        # step counter while peers continue desynchronizes every subsequent
+        # collective. Multi-host recovery is restart-the-job + resume from
+        # `checkpointer.latest()` at startup (which this loop does); only
+        # single-process runs may self-heal in place.
+        max_failures = 0
+
+    def _restore_latest():
+        resume = checkpointer.latest()
+        if resume is None or resume < start_step:
+            # Never rewind past start_step: older checkpoints belong to a
+            # phase the caller explicitly excluded.
+            return None
         state = checkpointer.restore(model, resume)
-        step = state["step"] + 1
         if on_restore is not None:
             on_restore(state)
+        return state
+
+    step = start_step
+    state = _restore_latest()
+    if state is not None:
+        step = state["step"] + 1
         _log(f"resumed from checkpoint step {state['step']}")
     failures = 0
     while step < num_steps:
@@ -244,10 +264,7 @@ def supervise(
             _log(f"step {step} failed ({type(e).__name__}: {e}); failure {failures}/{max_failures}")
             if failures > max_failures:
                 raise
-            resume = checkpointer.latest()
-            if resume is not None:
-                state = checkpointer.restore(model, resume)
+            state = _restore_latest()
+            if state is not None:
                 step = state["step"] + 1
-                if on_restore is not None:
-                    on_restore(state)
     return step

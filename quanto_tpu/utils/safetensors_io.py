@@ -229,14 +229,24 @@ def save_sharded(
     removed so a directory never holds both."""
     import os
 
+    import re
+
     limit = _parse_size(max_shard_size)
     single_path = os.path.join(directory, f"{base_name}.safetensors")
     index_path = single_path + ".index.json"
+    shard_re = re.compile(rf"^{re.escape(base_name)}-\d{{5}}-of-\d{{5}}\.safetensors$")
+
+    def _remove_stale_shards(keep=()):
+        for name in os.listdir(directory):
+            if shard_re.match(name) and name not in keep:
+                os.remove(os.path.join(directory, name))
+
     sizes = {name: _to_numpy(t).nbytes for name, t in tensors.items()}
     if sum(sizes.values()) <= limit:
         save_file(tensors, single_path)
         if os.path.exists(index_path):
             os.remove(index_path)
+        _remove_stale_shards()
         return
     shards = [[]]
     shard_bytes = 0
@@ -264,3 +274,4 @@ def save_sharded(
         )
     if os.path.exists(single_path):
         os.remove(single_path)
+    _remove_stale_shards(keep=set(weight_map.values()))
