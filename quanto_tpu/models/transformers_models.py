@@ -132,395 +132,133 @@ def build_model(hf_config, dtype=jnp.bfloat16, rngs=None):
     return _build_from_hf_config(hf_config, dtype=dtype, rngs=rngs)
 
 
+def _clip_like_synth(hf_name):
+    """Builder for the dual-tower contrastive configs (OWLv2 / CLIP)."""
+
+    def build(c):
+        import transformers
+
+        def tower(t, extra):
+            d = {
+                "hidden_size": t.hidden_size,
+                "intermediate_size": t.intermediate_size,
+                "num_hidden_layers": t.num_hidden_layers,
+                "num_attention_heads": t.num_attention_heads,
+                "layer_norm_eps": t.layer_norm_eps,
+                "attention_dropout": 0.0,
+            }
+            if hasattr(t, "hidden_act"):
+                d["hidden_act"] = t.hidden_act
+            d.update(extra)
+            return d
+
+        text_extra = {
+            "vocab_size": c.vocab_size,
+            "max_position_embeddings": c.max_position_embeddings,
+        }
+        if hasattr(c, "eos_token_id"):
+            text_extra["eos_token_id"] = c.eos_token_id
+        return getattr(transformers, hf_name)(
+            text_config=tower(c.text, text_extra),
+            vision_config=tower(c.vision, {
+                "image_size": c.image_size, "patch_size": c.patch_size,
+                "num_channels": c.num_channels,
+            }),
+            projection_dim=c.projection_dim,
+            logit_scale_init_value=c.logit_scale_init_value,
+        )
+
+    return build
+
+
+def _labels(c):
+    return {i: f"LABEL_{i}" for i in range(c.num_labels)}
+
+
+# (model module, model class, HF config class, extra kwargs fn) — order
+# matters: subclasses before their bases. Every identity-named field is
+# copied automatically by `_synth_from_signature`; only renames, computed
+# values and base-kwargs (id2label) need the extra fn.
+_HF_SYNTH_TABLE = (
+    (".qwen3", "Qwen3MoeForCausalLM", "Qwen3MoeConfig", None),
+    (".qwen3", "Qwen3ForCausalLM", "Qwen3Config", None),
+    (".llama", "LlamaForCausalLM", "LlamaConfig", None),
+    (".gpt2", "GPT2LMHeadModel", "GPT2Config", None),
+    (".gemma2", "Gemma2ForCausalLM", "Gemma2Config", None),
+    (".gemma3", "Gemma3ForCausalLM", "Gemma3TextConfig",
+     lambda c: {"rope_scaling": (
+         {"rope_type": "linear", "factor": c.rope_scaling_factor}
+         if c.rope_scaling_factor else None)}),
+    (".phi3", "Phi3ForCausalLM", "Phi3Config", None),
+    (".gpt_neox", "GPTNeoXForCausalLM", "GPTNeoXConfig",
+     lambda c: {"rotary_emb_base": c.rope_theta}),
+    (".starcoder2", "Starcoder2ForCausalLM", "Starcoder2Config", None),
+    (".deepseek_v3", "DeepseekV3ForCausalLM", "DeepseekV3Config", None),
+    (".falcon", "FalconForCausalLM", "FalconConfig", None),
+    (".mixtral", "MixtralForCausalLM", "MixtralConfig", None),
+    (".qwen2_moe", "Qwen2MoeForCausalLM", "Qwen2MoeConfig", None),
+    (".t5", "T5ForConditionalGeneration", "T5Config", None),
+    (".whisper", "WhisperForConditionalGeneration", "WhisperConfig", None),
+    (".bloom", "BloomForCausalLM", "BloomConfig",
+     lambda c: {"n_layer": c.num_hidden_layers, "n_head": c.num_attention_heads}),
+    (".bert", "BertForSequenceClassification", "BertConfig",
+     lambda c: {"id2label": _labels(c)}),
+    (".vit", "ViTForImageClassification", "ViTConfig",
+     lambda c: {"id2label": _labels(c)}),
+    (".opt", "OPTForCausalLM", "OPTConfig", None),
+    (".owlv2", "Owlv2ForObjectDetection", _clip_like_synth("Owlv2Config"), None),
+    (".clip", "CLIPModel", _clip_like_synth("CLIPConfig"), None),
+)
+
+
+def _hashable_to_hf(v):
+    """Undo the hashable-tuple encoding config fields use so they can live
+    in jit cache keys: ((k, v), ...) pairs -> dict, other tuples -> list."""
+    if isinstance(v, tuple):
+        if v and all(
+            isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str) for e in v
+        ):
+            return {k: _hashable_to_hf(val) for k, val in v}
+        return [_hashable_to_hf(e) for e in v]
+    return v
+
+
+def _synth_from_signature(c, hf_cls, extra=None):
+    """Build an HF config by copying every same-named attribute of our
+    dataclass config that appears in `hf_cls.__init__`'s signature (the
+    inverse of each family's `Config.from_hf`), plus `extra` overrides."""
+    import inspect
+
+    kwargs = {}
+    for name, p in inspect.signature(hf_cls.__init__).parameters.items():
+        if name == "self" or p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        if hasattr(c, name):
+            kwargs[name] = _hashable_to_hf(getattr(c, name))
+    if extra:
+        kwargs.update(extra(c))
+    return hf_cls(**kwargs)
+
+
 def _synthesize_hf_config(model):
-    """HF PretrainedConfig equivalent of a quanto_tpu-native model config."""
-    from .gpt2 import GPT2LMHeadModel
-    from .llama import LlamaForCausalLM
+    """HF PretrainedConfig equivalent of a quanto_tpu-native model config,
+    so `save_pretrained` of a from-config model writes a config.json that
+    `from_pretrained` (ours or transformers') can rebuild."""
+    import importlib
+
+    import transformers
 
     c = getattr(model, "config", None)
     if c is None:
         return None
-    if isinstance(model, LlamaForCausalLM):
-        from transformers import LlamaConfig as HFLlamaConfig
-
-        return HFLlamaConfig(
-            vocab_size=c.vocab_size,
-            hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            head_dim=c.head_dim,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps,
-            rope_theta=c.rope_theta,
-            rope_scaling=dict(c.rope_scaling) if c.rope_scaling else None,
-            tie_word_embeddings=c.tie_word_embeddings,
-            attention_bias=c.attention_bias,
-            mlp_bias=c.mlp_bias,
-            hidden_act=c.hidden_act,
-        )
-    if isinstance(model, GPT2LMHeadModel):
-        from transformers import GPT2Config as HFGPT2Config
-
-        return HFGPT2Config(
-            vocab_size=c.vocab_size, n_positions=c.n_positions, n_embd=c.n_embd,
-            n_layer=c.n_layer, n_head=c.n_head, layer_norm_epsilon=c.layer_norm_epsilon,
-        )
-    from .gemma2 import Gemma2ForCausalLM
-
-    if isinstance(model, Gemma2ForCausalLM):
-        from transformers import Gemma2Config as HFGemma2Config
-
-        return HFGemma2Config(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            head_dim=c.head_dim,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            query_pre_attn_scalar=c.query_pre_attn_scalar,
-            attn_logit_softcapping=c.attn_logit_softcapping,
-            final_logit_softcapping=c.final_logit_softcapping,
-            sliding_window=c.sliding_window,
-            layer_types=list(c.layer_types),
-            attention_bias=c.attention_bias,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .phi3 import Phi3ForCausalLM
-
-    if isinstance(model, Phi3ForCausalLM):
-        from transformers import Phi3Config as HFPhi3Config
-
-        return HFPhi3Config(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            partial_rotary_factor=c.partial_rotary_factor,
-            sliding_window=c.sliding_window,
-            tie_word_embeddings=c.tie_word_embeddings,
-            rope_scaling=(
-                {k: list(v) if isinstance(v, tuple) else v for k, v in c.rope_scaling}
-                if c.rope_scaling else None
-            ),
-            original_max_position_embeddings=c.original_max_position_embeddings,
-        )
-    from .gpt_neox import GPTNeoXForCausalLM
-
-    if isinstance(model, GPTNeoXForCausalLM):
-        from transformers import GPTNeoXConfig as HFGPTNeoXConfig
-
-        return HFGPTNeoXConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            rotary_pct=c.rotary_pct, rotary_emb_base=c.rope_theta,
-            max_position_embeddings=c.max_position_embeddings,
-            layer_norm_eps=c.layer_norm_eps,
-            use_parallel_residual=c.use_parallel_residual,
-            attention_bias=c.attention_bias,
-            hidden_act=c.hidden_act,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .starcoder2 import Starcoder2ForCausalLM
-
-    if isinstance(model, Starcoder2ForCausalLM):
-        from transformers import Starcoder2Config as HFStarcoder2Config
-
-        return HFStarcoder2Config(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            max_position_embeddings=c.max_position_embeddings,
-            norm_epsilon=c.norm_epsilon, rope_theta=c.rope_theta,
-            sliding_window=c.sliding_window, use_bias=c.use_bias,
-            hidden_act=c.hidden_act,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .qwen3 import Qwen3ForCausalLM, Qwen3MoeForCausalLM
-
-    if isinstance(model, Qwen3ForCausalLM):  # covers Qwen3MoeForCausalLM subclass
-        common = dict(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            head_dim=c.head_dim,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            rope_scaling=dict(c.rope_scaling) if c.rope_scaling else None,
-            tie_word_embeddings=c.tie_word_embeddings,
-            hidden_act=c.hidden_act,
-        )
-        if isinstance(model, Qwen3MoeForCausalLM):
-            from transformers import Qwen3MoeConfig as HFQwen3MoeConfig
-
-            return HFQwen3MoeConfig(
-                num_experts=c.num_experts,
-                num_experts_per_tok=c.num_experts_per_tok,
-                moe_intermediate_size=c.moe_intermediate_size,
-                norm_topk_prob=c.norm_topk_prob,
-                decoder_sparse_step=c.decoder_sparse_step,
-                mlp_only_layers=list(c.mlp_only_layers),
-                **common,
-            )
-        from transformers import Qwen3Config as HFQwen3Config
-
-        return HFQwen3Config(**common)
-    from .gemma3 import Gemma3ForCausalLM
-
-    if isinstance(model, Gemma3ForCausalLM):
-        from transformers import Gemma3TextConfig as HFGemma3TextConfig
-
-        return HFGemma3TextConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            head_dim=c.head_dim,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            rope_local_base_freq=c.rope_local_base_freq,
-            rope_scaling=(
-                {"rope_type": "linear", "factor": c.rope_scaling_factor}
-                if c.rope_scaling_factor else None
-            ),
-            query_pre_attn_scalar=c.query_pre_attn_scalar,
-            sliding_window=c.sliding_window,
-            sliding_window_pattern=c.sliding_window_pattern,
-            layer_types=list(c.layer_types),
-            attention_bias=c.attention_bias,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .deepseek_v3 import DeepseekV3ForCausalLM
-
-    if isinstance(model, DeepseekV3ForCausalLM):
-        from transformers import DeepseekV3Config as HFDeepseekV3Config
-
-        return HFDeepseekV3Config(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            moe_intermediate_size=c.moe_intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            n_shared_experts=c.n_shared_experts,
-            n_routed_experts=c.n_routed_experts,
-            routed_scaling_factor=c.routed_scaling_factor,
-            kv_lora_rank=c.kv_lora_rank, q_lora_rank=c.q_lora_rank,
-            qk_rope_head_dim=c.qk_rope_head_dim,
-            v_head_dim=c.v_head_dim, qk_nope_head_dim=c.qk_nope_head_dim,
-            n_group=c.n_group, topk_group=c.topk_group,
-            num_experts_per_tok=c.num_experts_per_tok,
-            first_k_dense_replace=c.first_k_dense_replace,
-            norm_topk_prob=c.norm_topk_prob,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            rope_interleave=c.rope_interleave,
-            attention_bias=c.attention_bias,
-            tie_word_embeddings=c.tie_word_embeddings,
-            hidden_act=c.hidden_act,
-        )
-    from .falcon import FalconForCausalLM
-
-    if isinstance(model, FalconForCausalLM):
-        from transformers import FalconConfig as HFFalconConfig
-
-        return HFFalconConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_kv_heads=c.num_kv_heads,
-            layer_norm_epsilon=c.layer_norm_epsilon,
-            alibi=c.alibi,
-            new_decoder_architecture=c.new_decoder_architecture,
-            multi_query=c.multi_query, parallel_attn=c.parallel_attn,
-            num_ln_in_parallel_attn=c.num_ln_in_parallel_attn,
-            bias=c.bias,
-            max_position_embeddings=c.max_position_embeddings,
-            rope_theta=c.rope_theta, ffn_hidden_size=c.ffn_hidden_size,
-            activation=c.activation,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .mixtral import MixtralForCausalLM
-
-    if isinstance(model, MixtralForCausalLM):
-        from transformers import MixtralConfig as HFMixtralConfig
-
-        return HFMixtralConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            num_local_experts=c.num_local_experts,
-            num_experts_per_tok=c.num_experts_per_tok,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .qwen2_moe import Qwen2MoeForCausalLM
-
-    if isinstance(model, Qwen2MoeForCausalLM):
-        from transformers import Qwen2MoeConfig as HFQwen2MoeConfig
-
-        return HFQwen2MoeConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            intermediate_size=c.intermediate_size,
-            moe_intermediate_size=c.moe_intermediate_size,
-            shared_expert_intermediate_size=c.shared_expert_intermediate_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            num_key_value_heads=c.num_key_value_heads,
-            max_position_embeddings=c.max_position_embeddings,
-            rms_norm_eps=c.rms_norm_eps, rope_theta=c.rope_theta,
-            num_experts=c.num_experts,
-            num_experts_per_tok=c.num_experts_per_tok,
-            norm_topk_prob=c.norm_topk_prob,
-            decoder_sparse_step=c.decoder_sparse_step,
-            mlp_only_layers=list(c.mlp_only_layers),
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .t5 import T5ForConditionalGeneration
-
-    if isinstance(model, T5ForConditionalGeneration):
-        from transformers import T5Config as HFT5Config
-
-        return HFT5Config(
-            vocab_size=c.vocab_size, d_model=c.d_model, d_kv=c.d_kv, d_ff=c.d_ff,
-            num_layers=c.num_layers, num_decoder_layers=c.num_decoder_layers,
-            num_heads=c.num_heads,
-            relative_attention_num_buckets=c.relative_attention_num_buckets,
-            relative_attention_max_distance=c.relative_attention_max_distance,
-            layer_norm_epsilon=c.layer_norm_epsilon,
-            feed_forward_proj=c.feed_forward_proj,
-            tie_word_embeddings=c.tie_word_embeddings,
-            decoder_start_token_id=c.decoder_start_token_id,
-        )
-    from .whisper import WhisperForConditionalGeneration
-
-    if isinstance(model, WhisperForConditionalGeneration):
-        from transformers import WhisperConfig as HFWhisperConfig
-
-        return HFWhisperConfig(
-            vocab_size=c.vocab_size, num_mel_bins=c.num_mel_bins, d_model=c.d_model,
-            encoder_layers=c.encoder_layers, encoder_attention_heads=c.encoder_attention_heads,
-            encoder_ffn_dim=c.encoder_ffn_dim, decoder_layers=c.decoder_layers,
-            decoder_attention_heads=c.decoder_attention_heads, decoder_ffn_dim=c.decoder_ffn_dim,
-            max_source_positions=c.max_source_positions,
-            max_target_positions=c.max_target_positions,
-            decoder_start_token_id=c.decoder_start_token_id,
-        )
-    from .owlv2 import Owlv2ForObjectDetection
-
-    if isinstance(model, Owlv2ForObjectDetection):
-        from transformers import Owlv2Config as HFOwlv2Config
-
-        tower = lambda t, extra: {
-            "hidden_size": t.hidden_size, "intermediate_size": t.intermediate_size,
-            "num_hidden_layers": t.num_hidden_layers,
-            "num_attention_heads": t.num_attention_heads,
-            "layer_norm_eps": t.layer_norm_eps, "attention_dropout": 0.0, **extra,
-        }
-        return HFOwlv2Config(
-            text_config=tower(c.text, {
-                "vocab_size": c.vocab_size,
-                "max_position_embeddings": c.max_position_embeddings,
-            }),
-            vision_config=tower(c.vision, {
-                "image_size": c.image_size, "patch_size": c.patch_size,
-                "num_channels": c.num_channels,
-            }),
-            projection_dim=c.projection_dim,
-            logit_scale_init_value=c.logit_scale_init_value,
-        )
-    from .clip import CLIPModel as NNXCLIPModel
-
-    if isinstance(model, NNXCLIPModel):
-        from transformers import CLIPConfig as HFCLIPConfig
-
-        tower = lambda t, extra: {
-            "hidden_size": t.hidden_size, "intermediate_size": t.intermediate_size,
-            "num_hidden_layers": t.num_hidden_layers,
-            "num_attention_heads": t.num_attention_heads,
-            "layer_norm_eps": t.layer_norm_eps, "hidden_act": t.hidden_act,
-            "attention_dropout": 0.0, **extra,
-        }
-        return HFCLIPConfig(
-            text_config=tower(c.text, {
-                "vocab_size": c.vocab_size,
-                "max_position_embeddings": c.max_position_embeddings,
-                "eos_token_id": c.eos_token_id,
-            }),
-            vision_config=tower(c.vision, {
-                "image_size": c.image_size, "patch_size": c.patch_size,
-                "num_channels": c.num_channels,
-            }),
-            projection_dim=c.projection_dim,
-            logit_scale_init_value=c.logit_scale_init_value,
-        )
-    from .bloom import BloomForCausalLM
-
-    if isinstance(model, BloomForCausalLM):
-        from transformers import BloomConfig as HFBloomConfig
-
-        return HFBloomConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            n_layer=c.num_hidden_layers, n_head=c.num_attention_heads,
-            layer_norm_epsilon=c.layer_norm_epsilon,
-            apply_residual_connection_post_layernorm=c.apply_residual_connection_post_layernorm,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
-    from .bert import BertForSequenceClassification
-
-    if isinstance(model, BertForSequenceClassification):
-        from transformers import BertConfig as HFBertConfig
-
-        return HFBertConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size,
-            num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            intermediate_size=c.intermediate_size,
-            max_position_embeddings=c.max_position_embeddings,
-            type_vocab_size=c.type_vocab_size, layer_norm_eps=c.layer_norm_eps,
-            id2label={i: f"LABEL_{i}" for i in range(c.num_labels)},
-        )
-    from .vit import ViTForImageClassification
-
-    if isinstance(model, ViTForImageClassification):
-        from transformers import ViTConfig as HFViTConfig
-
-        return HFViTConfig(
-            hidden_size=c.hidden_size, num_hidden_layers=c.num_hidden_layers,
-            num_attention_heads=c.num_attention_heads,
-            intermediate_size=c.intermediate_size, image_size=c.image_size,
-            patch_size=c.patch_size, num_channels=c.num_channels,
-            layer_norm_eps=c.layer_norm_eps,
-            id2label={i: f"LABEL_{i}" for i in range(c.num_labels)},
-        )
-    from .opt import OPTForCausalLM
-
-    if isinstance(model, OPTForCausalLM):
-        from transformers import OPTConfig as HFOPTConfig
-
-        return HFOPTConfig(
-            vocab_size=c.vocab_size, hidden_size=c.hidden_size, ffn_dim=c.ffn_dim,
-            num_hidden_layers=c.num_hidden_layers, num_attention_heads=c.num_attention_heads,
-            max_position_embeddings=c.max_position_embeddings,
-            word_embed_proj_dim=c.word_embed_proj_dim,
-            do_layer_norm_before=c.do_layer_norm_before, enable_bias=c.enable_bias,
-            tie_word_embeddings=c.tie_word_embeddings,
-        )
+    for mod_name, cls_name, hf_spec, extra in _HF_SYNTH_TABLE:
+        mod = importlib.import_module(mod_name, package=__package__)
+        cls = getattr(mod, cls_name, None)
+        if cls is None or not isinstance(model, cls):
+            continue
+        if callable(hf_spec) and not isinstance(hf_spec, str):
+            return hf_spec(c)
+        return _synth_from_signature(c, getattr(transformers, hf_spec), extra)
     return None
 
 
