@@ -278,6 +278,10 @@ def main_8b(batch: int = 1):
         ("int8", dict(weights="qint8", exclude="lm_head")),
         ("int4", dict(weights="qint4", exclude="lm_head")),
         ("int4+head4", dict(weights="qint4")),
+        # W4A8: decode speed is content-blind, so unit activation scales
+        # stand in for calibration (real deployments calibrate; the
+        # performance is identical).
+        ("w4a8", dict(weights="qint4", activations="qint8", exclude="lm_head")),
     ]
     from quanto_tpu.ops import config as ops_config
 
@@ -289,6 +293,9 @@ def main_8b(batch: int = 1):
         with jax.default_device(cpu):
             model = LlamaForCausalLM(full_cfg, rngs=nnx.Rngs(0))
             qt.quantize(model, **kw)
+            if kw.get("activations"):
+                for _n, m in qt.named_qmodules(model):
+                    m.input_scale.set_value(jnp.ones_like(m.input_scale.get_value()))
             ops_config.set_backend(pallas_qbits=on_tpu or None)
             try:
                 qt.freeze(model)  # TPU kernel layout for sub-byte weights
