@@ -93,3 +93,46 @@ def test_model_forward_partitioned_pallas_matches_single_device():
         ops_config.set_backend()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)
     assert "all-gather" not in hlo
+
+
+def test_w4a8_qlinear_partitioned_under_mesh():
+    """The qlinear W4A8 branch routes through the partitioned wrapper under
+    an active mesh: int8-activation x int4-weight output matches the
+    unsharded dequant oracle, payload stays sharded."""
+    from quanto_tpu.ops.qlinear import qlinear
+    from quanto_tpu.tensor.activations import quantize_activation
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import quantize_weight
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(512, 2048), jnp.float32)
+    x = jnp.asarray(rng.randn(8, 2048), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128)
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+    oracle = np.asarray(qx.dequantize() @ qw.dequantize().T, np.float64)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    for k_shards, pspec, sspec in [(1, P("tp", None), P(None, "tp")),
+                                   (4, P(None, "tp"), P("tp", None))]:
+        tpu = WeightQBitsTpuArray.from_generic(qw, k_shards=k_shards)
+        sharded = WeightQBitsTpuArray(
+            _packed=jax.device_put(tpu._packed, NamedSharding(mesh, pspec)),
+            _scale_t=jax.device_put(tpu._scale_t, NamedSharding(mesh, sspec)),
+            _shift_t=jax.device_put(tpu._shift_t, NamedSharding(mesh, sspec)),
+            qtype=tpu.qtype, group_size=tpu.group_size,
+            orig_shape=tpu.orig_shape, float_dtype=tpu.float_dtype,
+            k_shards=k_shards,
+        )
+        ops_config.set_backend(pallas_qbits=True)
+        try:
+            fn = jax.jit(lambda a, b: qlinear(a, b))
+            with mesh:
+                out = fn(qx, sharded)
+                hlo = fn.lower(qx, sharded).compile().as_text()
+        finally:
+            ops_config.set_backend()
+        err = np.abs(np.asarray(out, np.float64) - oracle).max() / np.abs(oracle).max()
+        assert err < 1e-3, (k_shards, err)
+        assert "all-gather" not in hlo
