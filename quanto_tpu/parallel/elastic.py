@@ -93,14 +93,30 @@ class ElasticCheckpointer:
         self.save(step, model, extra)
         return True
 
+    @staticmethod
+    def _fully_addressable(model) -> bool:
+        from .. import serialization
+
+        for arr in serialization.state_dict(model).values():
+            if hasattr(arr, "is_fully_addressable") and not arr.is_fully_addressable:
+                return False
+        return True
+
     def save(self, step: int, model, extra: Optional[Dict] = None) -> None:
+        final = self.path(step)
+        if os.path.exists(final):
+            return
+        if not self._fully_addressable(model):
+            # Cross-host-sharded weights: serializing through numpy would
+            # fail (no process can see every shard). Route through orbax,
+            # which writes each process's shards collectively and commits
+            # atomically; every process must participate.
+            self._save_orbax(step, model, extra, final)
+            return
         if not self._primary:
             return  # non-primary hosts rely on process-0's checkpoint
         from .. import serialization
 
-        final = self.path(step)
-        if os.path.exists(final):
-            return
         tmp = tempfile.mkdtemp(prefix=f".step_{step}_", dir=self.root)
         try:
             serialization.save_file(model, os.path.join(tmp, "model.safetensors"))
@@ -110,8 +126,24 @@ class ElasticCheckpointer:
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        self._prune()
+
+    def _prune(self):
         for old in self._steps()[: -self.keep]:
             shutil.rmtree(self.path(old), ignore_errors=True)
+
+    def _save_orbax(self, step, model, extra, final):
+        import orbax.checkpoint as ocp
+
+        from .. import serialization
+
+        sd = serialization.state_dict(model)
+        with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+            ckptr.save(os.path.abspath(os.path.join(final, "orbax")), dict(sd))
+        if self._primary:
+            with open(os.path.join(final, "state.json"), "w") as f:
+                json.dump({"step": step, "extra": extra or {}, "format": "orbax"}, f)
+            self._prune()
 
     # -- restore --------------------------------------------------------
 
@@ -126,9 +158,18 @@ class ElasticCheckpointer:
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.root}")
         d = self.path(step)
-        serialization.load_file(model, os.path.join(d, "model.safetensors"))
         with open(os.path.join(d, "state.json")) as f:
-            return json.load(f)
+            state = json.load(f)
+        if state.get("format") == "orbax":
+            import jax.numpy as jnp
+            import orbax.checkpoint as ocp
+
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+                sd = ckptr.restore(os.path.abspath(os.path.join(d, "orbax")))
+            serialization.load_state_dict(model, {k: jnp.asarray(v) for k, v in sd.items()})
+        else:
+            serialization.load_file(model, os.path.join(d, "model.safetensors"))
+        return state
 
 
 class Watchdog:

@@ -144,3 +144,24 @@ def test_supervise_gives_up_after_max_failures(tmp_path):
 
     with pytest.raises(RuntimeError, match="always fails"):
         supervise(step, model, ckpt, num_steps=3, max_failures=2)
+
+
+def test_checkpoint_orbax_backend_roundtrip(tmp_path, monkeypatch):
+    """Cross-host-sharded weights route through orbax (forced here: a
+    single-process CPU mesh is always fully addressable)."""
+    model = _model()
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    qt.freeze(model)
+    ids = jnp.asarray(np.array([[1, 5, 9]], dtype=np.int64))
+    ref, _ = model(ids)
+    monkeypatch.setattr(ElasticCheckpointer, "_fully_addressable", staticmethod(lambda m: False))
+    ckpt = ElasticCheckpointer(str(tmp_path), keep=1)
+    ckpt.save(7, model, {"fmt": "orbax"})
+    assert ckpt.latest() == 7
+    other = _model(seed=1)
+    qt.quantize(other, weights="qint4", exclude="lm_head")
+    qt.freeze(other)
+    state = ckpt.restore(other)
+    assert state["step"] == 7 and state["format"] == "orbax"
+    out, _ = other(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
