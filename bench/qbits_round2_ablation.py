@@ -110,27 +110,39 @@ def _variant_call(x, packed, scale_t, shift_t, *, bits, group_size, mode):
     )(x, packed, scale_t, shift_t)
 
 
+REPS = 500  # kernel invocations per device call: amortizes the tunnel's
+# per-dispatch overhead (measured up to ~30 ms in degraded sessions: at
+# REPS=50 a 91 us kernel is ~100% overhead), so per-variant ratios stay
+# valid even when single-call microbenches do not.
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.RandomState(0)
     M, gs, bits = 8, 128, 4
 
-    def timeit(fn, *args):
-        out = fn(*args)
-        float(jax.device_get(jnp.sum(out)))
+    def timeit(fn, x, *args):
+        # Chain REPS kernel calls in ONE program; a 0-valued data dependency
+        # between steps defeats CSE without changing the numerics.
+        def body(c, _):
+            out = fn(c, *args)
+            return c + 0.0 * jnp.sum(out).astype(c.dtype), None
+
+        scanned = jax.jit(lambda x, *a: jnp.sum(jax.lax.scan(
+            lambda c, _: body(c, _), x, None, length=REPS)[0]))
+        float(jax.device_get(scanned(x, *args)))
         best = float("inf")
-        for _ in range(30):
+        for _ in range(5):
             t0 = time.time()
-            out = fn(*args)
-            float(jax.device_get(jnp.sum(out)))
+            float(jax.device_get(scanned(x, *args)))
             best = min(best, time.time() - t0)
-        return best
+        return best / REPS
 
     # Same-session bf16 matmul reference for calibration.
     a = jnp.asarray(rng.randn(2048, 4096), jnp.bfloat16)
     b = jnp.asarray(rng.randn(4096, 4096), jnp.bfloat16)
-    tmm = timeit(jax.jit(lambda a, b: a @ b), a, b)
+    tmm = timeit(lambda a, b: a @ b, a, b)
     log(f"calib bf16 matmul 2048x4096x4096: {tmm*1e6:.0f} us "
         f"({2*2048*4096*4096/tmm/1e12:.1f} TF/s)")
 
@@ -144,11 +156,14 @@ def main():
         payload = N * K // 2 + 2 * G * N * 4 + M * K * 2
 
         t = timeit(
-            lambda x, p, s, z: qbits_matmul_kernel_call(x, p, s, z, bits, gs),
+            lambda x, p, s, z: qbits_matmul_kernel_call(x, p, s, z, bits, gs).astype(jnp.float32),
             x, packed, scale, shift,
         )
         log(f"K={K} N={N} prod: {t*1e6:.0f} us ({payload/t/1e9:.0f} GB/s eff)")
-        for mode in ("nounpack", "nodot"):
+        # "nodot" dropped: its broadcast-sum body fails Mosaic compile
+        # (remote_compile 500) — the dot-cost question is answered by
+        # comparing prod against the bf16 calib rate instead.
+        for mode in ("nounpack",):
             tv = timeit(
                 lambda x, p, s, z, m=mode: _variant_call(
                     x, p, s, z, bits=bits, group_size=gs, mode=m
