@@ -23,7 +23,7 @@ from ..quantize import (
     quantize,
     set_module_by_name,
 )
-from ..utils.safetensors_io import load_file, save_file
+from ..utils.safetensors_io import load_file, save_file, save_sharded
 from .loading import hf_state_dict, load_hf_state_dict
 from .flux import FluxConfig, FluxTransformer2DModel
 from .pixart import PixArtConfig, PixArtTransformer2DModel
@@ -103,12 +103,14 @@ class QuantizedDiffusersModel:
             qmodule = quantize_module(m, weights=weights, activations=activations, optimizer=None)
             if qmodule is not None:
                 set_module_by_name(model, name, qmodule)
-        tensors = load_file(os.path.join(directory, "model.safetensors"))
+        from .transformers_models import _load_tensors
+
+        tensors = _load_tensors(directory)  # single-file or sharded index
         load_hf_state_dict(model, tensors, dtype=dtype)
         model._hf_config = config
         return cls(model)
 
-    def save_pretrained(self, directory: str) -> None:
+    def save_pretrained(self, directory: str, max_shard_size="5GB") -> None:
         os.makedirs(directory, exist_ok=True)
         config = getattr(self._wrapped, "_hf_config", None)
         if config is None and hasattr(self._wrapped.config, "to_hf"):
@@ -133,7 +135,7 @@ class QuantizedDiffusersModel:
             json.dump(config, f, indent=2)
         with open(os.path.join(directory, QMAP_NAME), "w") as f:
             json.dump(quantization_map(self._wrapped), f, indent=2)
-        save_file(hf_state_dict(self._wrapped), os.path.join(directory, "model.safetensors"))
+        save_sharded(hf_state_dict(self._wrapped), directory, max_shard_size)
 
 
 class QuantizedPixArtTransformer2DModel(QuantizedDiffusersModel):

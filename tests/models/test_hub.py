@@ -142,3 +142,30 @@ def test_push_to_hub_offline_error(tmp_path, monkeypatch):
         qmodel.save_pretrained(str(tmp_path / "m2"), push_to_hub=True, repo_id="org/m")
     with pytest.raises(ValueError, match="repo_id"):
         qmodel.save_pretrained(str(tmp_path / "m3"), push_to_hub=True)
+
+
+def test_diffusers_sharded_save_roundtrip(tmp_path):
+    """Diffusers wrapper save_pretrained shards above max_shard_size and
+    from_pretrained reads the index back."""
+    from quanto_tpu.models import QuantizedPixArtTransformer2DModel
+    from quanto_tpu.models.pixart import PixArtConfig, PixArtTransformer2DModel
+
+    cfg = PixArtConfig(
+        num_layers=1, num_attention_heads=2, attention_head_dim=16,
+        in_channels=4, sample_size=8, cross_attention_dim=32,
+        caption_channels=32, dtype=jnp.float32,
+    )
+    m = PixArtTransformer2DModel(cfg, rngs=nnx.Rngs(0))
+    q = QuantizedPixArtTransformer2DModel.quantize(m, weights="qint8")
+    d = str(tmp_path / "px")
+    q.save_pretrained(d, max_shard_size=8 * 1024)
+    assert os.path.exists(os.path.join(d, "model.safetensors.index.json"))
+    r = QuantizedPixArtTransformer2DModel.from_pretrained(d, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    latent = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([5], jnp.int32)
+    ctx = jnp.asarray(rng.randn(1, 3, 32), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(r(latent, t, ctx)), np.asarray(q(latent, t, ctx)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -41,7 +41,19 @@ def _tiny_hf_config():
     )
 
 
-@pytest.mark.parametrize("weights_name", ["qint8", "qint4"])
+def _torch_to_jnp(v):
+    import torch
+
+    if v.dtype == torch.float8_e4m3fn:
+        import jax
+
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(v.view(torch.uint8).numpy()), jnp.float8_e4m3fn
+        )
+    return jnp.asarray(v.numpy())
+
+
+@pytest.mark.parametrize("weights_name", ["qint8", "qint4", "qfloat8"])
 def test_load_torch_quanto_checkpoint(weights_name):
     import torch
     from transformers import LlamaForCausalLM as HFLlama
@@ -53,14 +65,16 @@ def test_load_torch_quanto_checkpoint(weights_name):
     oq.quantize(torch_model, weights=getattr(oq, weights_name), exclude="lm_head")
     oq.freeze(torch_model)
     qmap = oq.quantization_map(torch_model)
-    assert qmap["model.layers.0.self_attn.q_proj"]["weights"] == weights_name
+    expected = "qfloat8_e4m3fn" if weights_name == "qfloat8" else weights_name
+    assert qmap["model.layers.0.self_attn.q_proj"]["weights"] == expected
 
     ids = np.array([[1, 5, 17, 99, 3, 42]], dtype=np.int64)
     with torch.no_grad():
         ref_logits = torch_model(torch.from_numpy(ids)).logits.float().numpy()
 
-    # Flatten the torch state dict to plain arrays (quanto key naming).
-    sd = {k: jnp.asarray(v.numpy()) for k, v in torch_model.state_dict().items()}
+    # Flatten the torch state dict to plain arrays (quanto key naming);
+    # float8 payloads bitcast through uint8 (torch fp8 has no .numpy()).
+    sd = {k: _torch_to_jnp(v) for k, v in torch_model.state_dict().items()}
 
     # Build our model, apply the SAME qmap, load the torch-written tensors.
     import quanto_tpu as qt
