@@ -223,10 +223,19 @@ def _hashable_to_hf(v):
     return v
 
 
+# Fields some HF configs consume through **kwargs (PretrainedConfig
+# setattr's unknown kwargs), so signature scanning would silently drop
+# them: verified examples are Qwen3MoeConfig's head_dim, Starcoder2/Falcon/
+# T5/Bloom/OPT's tie_word_embeddings, and T5's decoder_start_token_id —
+# all of which change weight shapes or tying on reload if lost.
+_BASE_CONFIG_KWARGS = ("tie_word_embeddings", "decoder_start_token_id", "head_dim")
+
+
 def _synth_from_signature(c, hf_cls, extra=None):
     """Build an HF config by copying every same-named attribute of our
     dataclass config that appears in `hf_cls.__init__`'s signature (the
-    inverse of each family's `Config.from_hf`), plus `extra` overrides."""
+    inverse of each family's `Config.from_hf`), plus base-config fields the
+    HF class consumes via **kwargs, plus `extra` overrides."""
     import inspect
 
     kwargs = {}
@@ -235,6 +244,15 @@ def _synth_from_signature(c, hf_cls, extra=None):
             continue
         if hasattr(c, name):
             kwargs[name] = _hashable_to_hf(getattr(c, name))
+    for name in _BASE_CONFIG_KWARGS:
+        if name in kwargs or not hasattr(c, name) or getattr(c, name) is None:
+            continue
+        # Some configs define the field as a read-only derived property
+        # (e.g. FalconConfig.head_dim) — setting it would raise.
+        prop = getattr(hf_cls, name, None)
+        if isinstance(prop, property) and prop.fset is None:
+            continue
+        kwargs[name] = _hashable_to_hf(getattr(c, name))
     if extra:
         kwargs.update(extra(c))
     return hf_cls(**kwargs)

@@ -133,16 +133,25 @@ class ElasticCheckpointer:
             shutil.rmtree(self.path(old), ignore_errors=True)
 
     def _save_orbax(self, step, model, extra, final):
+        # Same atomicity contract as the safetensors path: assemble the
+        # step directory under a hidden name, rename into place only once
+        # complete — a crash mid-save never leaves a step_<N>/ that
+        # latest() would select but restore() cannot read. All processes
+        # participate in the collective orbax save (it blocks until every
+        # host commits); only process 0 writes state.json and renames.
         import orbax.checkpoint as ocp
 
         from .. import serialization
 
         sd = serialization.state_dict(model)
+        tmp = os.path.join(self.root, f".orbax_step_{step}")
+        shutil.rmtree(tmp, ignore_errors=True)
         with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-            ckptr.save(os.path.abspath(os.path.join(final, "orbax")), dict(sd))
+            ckptr.save(os.path.abspath(os.path.join(tmp, "orbax")), dict(sd))
         if self._primary:
-            with open(os.path.join(final, "state.json"), "w") as f:
+            with open(os.path.join(tmp, "state.json"), "w") as f:
                 json.dump({"step": step, "extra": extra or {}, "format": "orbax"}, f)
+            os.rename(tmp, final)
             self._prune()
 
     # -- restore --------------------------------------------------------
@@ -161,12 +170,23 @@ class ElasticCheckpointer:
         with open(os.path.join(d, "state.json")) as f:
             state = json.load(f)
         if state.get("format") == "orbax":
-            import jax.numpy as jnp
+            import jax
             import orbax.checkpoint as ocp
 
+            # Restore each tensor straight onto the live model's current
+            # sharding (abstract target from the model's own state dict) —
+            # a replicated numpy restore would both destroy the TP layout
+            # and OOM on exactly the cross-host-sharded models this path
+            # exists for.
+            target = {
+                k: jax.ShapeDtypeStruct(
+                    v.shape, v.dtype, sharding=getattr(v, "sharding", None)
+                )
+                for k, v in serialization.state_dict(model).items()
+            }
             with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-                sd = ckptr.restore(os.path.abspath(os.path.join(d, "orbax")))
-            serialization.load_state_dict(model, {k: jnp.asarray(v) for k, v in sd.items()})
+                sd = ckptr.restore(os.path.abspath(os.path.join(d, "orbax")), target)
+            serialization.load_state_dict(model, sd)
         else:
             serialization.load_file(model, os.path.join(d, "model.safetensors"))
         return state
@@ -279,15 +299,21 @@ def supervise(
         max_failures = 0
 
     def _restore_latest():
-        resume = checkpointer.latest()
-        if resume is None or resume < start_step:
-            # Never rewind past start_step: older checkpoints belong to a
-            # phase the caller explicitly excluded.
-            return None
-        state = checkpointer.restore(model, resume)
-        if on_restore is not None:
-            on_restore(state)
-        return state
+        # Walk newest -> oldest (skipping unreadable checkpoints, e.g. a
+        # partially-written one from a pre-atomicity version), never past
+        # start_step: older checkpoints belong to an excluded phase.
+        for resume in reversed(checkpointer._steps()):
+            if resume < start_step:
+                return None
+            try:
+                state = checkpointer.restore(model, resume)
+            except (FileNotFoundError, json.JSONDecodeError):
+                _log(f"checkpoint step {resume} unreadable; trying older")
+                continue
+            if on_restore is not None:
+                on_restore(state)
+            return state
+        return None
 
     step = start_step
     state = _restore_latest()

@@ -169,3 +169,52 @@ def test_diffusers_sharded_save_roundtrip(tmp_path):
         np.asarray(r(latent, t, ctx)), np.asarray(q(latent, t, ctx)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_synth_config_preserves_kwargs_consumed_fields(tmp_path):
+    """Fields some HF configs consume via **kwargs (not __init__ params)
+    must survive the save/reload roundtrip: head_dim (Qwen3Moe),
+    tie_word_embeddings (OPT/Starcoder2/T5/...), decoder_start_token_id
+    (T5). Losing them silently changes weight shapes or tying on reload."""
+    import transformers
+
+    from quanto_tpu.models.transformers_models import _synthesize_hf_config
+    from quanto_tpu.models.qwen3 import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    from quanto_tpu.models.t5 import T5Config, T5ForConditionalGeneration
+    from quanto_tpu.models.opt import OPTConfig, OPTForCausalLM
+
+    q3 = Qwen3MoeForCausalLM(
+        Qwen3MoeConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, num_experts=2, num_experts_per_tok=1,
+            moe_intermediate_size=32, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    hf = _synthesize_hf_config(q3)
+    assert hf.head_dim == 16
+    assert Qwen3MoeConfig.from_hf(hf, dtype=jnp.float32).head_dim == 16
+
+    t5 = T5ForConditionalGeneration(
+        T5Config(
+            vocab_size=64, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+            num_heads=4, relative_attention_num_buckets=8,
+            relative_attention_max_distance=16, decoder_start_token_id=0,
+            tie_word_embeddings=False, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    hf = _synthesize_hf_config(t5)
+    assert hf.decoder_start_token_id == 0
+    assert hf.tie_word_embeddings is False
+
+    opt = OPTForCausalLM(
+        OPTConfig(
+            vocab_size=64, hidden_size=32, ffn_dim=64, num_hidden_layers=1,
+            num_attention_heads=4, max_position_embeddings=32,
+            tie_word_embeddings=False, dtype=jnp.float32,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    assert _synthesize_hf_config(opt).tie_word_embeddings is False
