@@ -26,9 +26,10 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--model", choices=["1b", "8b"], default="1b",
+        "--model", choices=["1b", "8b", "13b"], default="1b",
         help="1b: headline ~1B llama grid (driver default). "
-        "8b: Llama-3.1-8B-shaped config (BASELINE.md north star).",
+        "8b: Llama-3.1-8B-shaped config (BASELINE.md north star). "
+        "13b: Llama-2-13B-shaped (MHA) scale point.",
     )
     parser.add_argument("--batch", type=int, default=1)
     args = parser.parse_args()
@@ -52,8 +53,8 @@ def main():
     if on_tpu:
         kernel_smoke()  # fail loudly on Mosaic-compile/numerics drift
 
-    if args.model == "8b":
-        return main_8b(batch=args.batch)
+    if args.model in ("8b", "13b"):
+        return main_8b(batch=args.batch, size=args.model)
 
     # ~1B-parameter llama on TPU; tiny on CPU (CI smoke).
     if on_tpu:
@@ -189,7 +190,7 @@ def kernel_smoke():
     log("kernel smoke: ok (int4 decode/prefill + w4a8, k_shards 1/2)")
 
 
-def main_8b(batch: int = 1):
+def main_8b(batch: int = 1, size: str = "8b"):
     """Llama-3.1-8B-shaped decode throughput (BASELINE.md north star).
 
     bf16 at 8B (~16 GB weights) does not fit a single v5e's 16 GB HBM, so
@@ -220,6 +221,13 @@ def main_8b(batch: int = 1):
                 num_hidden_layers=max(layers // 8, 1), num_attention_heads=4,
                 num_key_value_heads=2, max_position_embeddings=1024,
                 dtype=jnp.float32,
+            )
+        if size == "13b":  # Llama-2-13B shape (MHA)
+            return LlamaConfig(
+                vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+                num_hidden_layers=layers, num_attention_heads=40,
+                num_key_value_heads=40, max_position_embeddings=2048,
+                dtype=jnp.bfloat16,
             )
         return LlamaConfig(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,
@@ -262,9 +270,14 @@ def main_8b(batch: int = 1):
         log(f"{tag}: {tps:.1f} tok/s ({ms:.2f} ms/tok) hbm {hbm_gb()} GB")
         return ms
 
-    # bf16 depth fit: ms(L) = a + b*L measured at L=8,16 -> project L=32.
+    # bf16 depth fit: ms(L) = a + b*L measured at two depths.
     results = {}
-    l_lo, l_hi, l_full = (8, 16, 32) if on_tpu else (1, 2, 4)
+    if not on_tpu:
+        l_lo, l_hi, l_full = 1, 2, 4
+    elif size == "13b":
+        l_lo, l_hi, l_full = 10, 20, 40
+    else:
+        l_lo, l_hi, l_full = 8, 16, 32
     ms_lo = bench_model(LlamaForCausalLM(config_8b(l_lo), rngs=nnx.Rngs(0)), config_8b(l_lo), f"bf16-{l_lo}L")
     ms_hi = bench_model(LlamaForCausalLM(config_8b(l_hi), rngs=nnx.Rngs(0)), config_8b(l_hi), f"bf16-{l_hi}L")
     b = (ms_hi - ms_lo) / (l_hi - l_lo)
@@ -316,7 +329,7 @@ def main_8b(batch: int = 1):
     log(json.dumps(results))
     best = max(v for k, v in results.items() if k != "bf16_proj_tok_s")
     print(json.dumps({
-        "metric": f"llama8b_decode_best_quant_tok_s_b{batch}",
+        "metric": f"llama{size[:-1]}b_decode_best_quant_tok_s_b{batch}",
         "value": best,
         "unit": "tok/s",
         "vs_baseline": round(best / results["bf16_proj_tok_s"], 3),
