@@ -102,6 +102,21 @@ def _lookup_cache(model_id: str, revision: Optional[str], cache_dir: Optional[st
                 ):
                     return os.path.join(snap_root, snap)
             continue
+        # No revision requested: resolve like huggingface_hub does — follow
+        # the default-branch pointer refs/main first, so a stale or
+        # non-default-branch snapshot that happens to be newer on disk never
+        # shadows the default revision. Fall back to newest-complete only
+        # when refs/main is absent or its snapshot is incomplete.
+        ref_main = os.path.join(root, folder, "refs", "main")
+        if os.path.exists(ref_main):
+            try:
+                with open(ref_main) as f:
+                    commit = f.read().strip()
+            except OSError:
+                commit = ""
+            cand = os.path.join(snap_root, commit)
+            if commit and _snapshot_complete(cand):
+                return cand
         snaps = sorted(
             (os.path.join(snap_root, s) for s in os.listdir(snap_root)),
             key=os.path.getmtime,

@@ -228,7 +228,12 @@ def _hashable_to_hf(v):
 # them: verified examples are Qwen3MoeConfig's head_dim, Starcoder2/Falcon/
 # T5/Bloom/OPT's tie_word_embeddings, and T5's decoder_start_token_id —
 # all of which change weight shapes or tying on reload if lost.
-_BASE_CONFIG_KWARGS = ("tie_word_embeddings", "decoder_start_token_id", "head_dim")
+_BASE_CONFIG_KWARGS = (
+    "tie_word_embeddings",
+    "decoder_start_token_id",
+    "head_dim",
+    "sliding_window_pattern",  # Gemma3: moved out of the __init__ signature
+)
 
 
 def _synth_from_signature(c, hf_cls, extra=None):
@@ -236,7 +241,9 @@ def _synth_from_signature(c, hf_cls, extra=None):
     dataclass config that appears in `hf_cls.__init__`'s signature (the
     inverse of each family's `Config.from_hf`), plus base-config fields the
     HF class consumes via **kwargs, plus `extra` overrides."""
+    import dataclasses
     import inspect
+    import logging
 
     kwargs = {}
     for name, p in inspect.signature(hf_cls.__init__).parameters.items():
@@ -255,6 +262,23 @@ def _synth_from_signature(c, hf_cls, extra=None):
         kwargs[name] = _hashable_to_hf(getattr(c, name))
     if extra:
         kwargs.update(extra(c))
+    # Surface silent drops: our-config fields that land neither via the HF
+    # signature nor the kwargs whitelist rot invisibly as transformers moves
+    # fields into **kwargs (the sliding_window_pattern case above).
+    if dataclasses.is_dataclass(c):
+        dropped = [
+            f.name
+            for f in dataclasses.fields(c)
+            if f.name not in kwargs and getattr(c, f.name, None) is not None
+        ]
+        if dropped:
+            logging.getLogger(__name__).debug(
+                "%s -> %s: config fields not copied into the synthesized HF "
+                "config: %s",
+                type(c).__name__,
+                hf_cls.__name__,
+                sorted(dropped),
+            )
     return hf_cls(**kwargs)
 
 

@@ -29,11 +29,22 @@ def _on_tpu() -> bool:
 
 
 def mesh_active() -> bool:
-    """True inside a `with Mesh(...)` context (sharded execution)."""
+    """True inside a mesh context (sharded execution) — either the modern
+    `jax.sharding.set_mesh`/`use_mesh` style (visible through
+    `get_abstract_mesh`) or the legacy `with Mesh(...)` context (visible
+    only through the mesh-library thread resources)."""
     try:
-        from jax.interpreters import pxla
+        am = jax.sharding.get_abstract_mesh()
+        if not getattr(am, "empty", True):
+            return True
+    except Exception:
+        pass
+    try:
+        # Legacy `with Mesh(...)` context. jax.interpreters.pxla's re-export
+        # of thread_resources is deprecated (warns); read the source module.
+        from jax._src import mesh as _mesh_lib
 
-        return not pxla.thread_resources.env.physical_mesh.empty
+        return not _mesh_lib.thread_resources.env.physical_mesh.empty
     except Exception:
         return False
 

@@ -104,7 +104,18 @@ class ElasticCheckpointer:
 
     def save(self, step: int, model, extra: Optional[Dict] = None) -> None:
         final = self.path(step)
-        if os.path.exists(final):
+        exists = os.path.exists(final)
+        if jax.process_count() > 1:
+            # All processes must agree on whether step_<N> already exists:
+            # on shared storage a fast host can observe the rename before a
+            # slow one, and a split decision around the collective orbax
+            # save below would hang the slice (some hosts inside the
+            # collective, others returned). Process 0's view is canonical.
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            exists = bool(multihost_utils.broadcast_one_to_all(np.asarray(exists)))
+        if exists:
             return
         if not self._fully_addressable(model):
             # Cross-host-sharded weights: serializing through numpy would
@@ -145,7 +156,15 @@ class ElasticCheckpointer:
 
         sd = serialization.state_dict(model)
         tmp = os.path.join(self.root, f".orbax_step_{step}")
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Only process 0 clears a stale tmp dir, and every process barriers
+        # before the collective save starts — an unsynchronized rmtree on
+        # shared storage could delete a peer's in-flight checkpoint writes.
+        if self._primary:
+            shutil.rmtree(tmp, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"quanto_tpu_ckpt_clear_{step}")
         with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
             ckptr.save(os.path.abspath(os.path.join(tmp, "orbax")), dict(sd))
         if self._primary:

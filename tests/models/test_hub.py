@@ -67,6 +67,47 @@ def test_from_pretrained_hub_id_via_fake_cache(tmp_path, monkeypatch):
     )
 
 
+def test_default_revision_follows_refs_main(tmp_path, monkeypatch):
+    """With multiple cached revisions, revision=None must resolve through
+    the refs/main default-branch pointer (like huggingface_hub), not the
+    newest snapshot by mtime — a stale side-branch snapshot touched later
+    must not shadow the default branch."""
+    repo = tmp_path / "cache" / "models--test-org--tiny-llama"
+    main_commit, branch_commit = "aaa111", "bbb222"
+    main_snap = repo / "snapshots" / main_commit
+    branch_snap = repo / "snapshots" / branch_commit
+    main_snap.mkdir(parents=True)
+    branch_snap.mkdir(parents=True)
+    (repo / "refs").mkdir()
+    (repo / "refs" / "main").write_text(main_commit)
+    (repo / "refs" / "dev").write_text(branch_commit)
+    _save_tiny_quantized(str(main_snap))
+    _save_tiny_quantized(str(branch_snap))
+    # Make the non-default branch strictly newer by mtime.
+    newer = os.path.getmtime(str(main_snap)) + 1000
+    os.utime(str(branch_snap), (newer, newer))
+    monkeypatch.setenv("QUANTO_TPU_HF_CACHE", str(tmp_path / "cache"))
+    monkeypatch.setenv("QUANTO_TPU_OFFLINE", "1")
+
+    assert resolve_model_path("test-org/tiny-llama") == str(main_snap)
+    assert resolve_model_path("test-org/tiny-llama", revision="dev") == str(branch_snap)
+
+
+def test_refs_main_incomplete_falls_back_to_newest(tmp_path, monkeypatch):
+    """A dangling/incomplete refs/main snapshot falls back to the newest
+    complete snapshot instead of failing resolution."""
+    repo = tmp_path / "cache" / "models--test-org--tiny-llama"
+    good = repo / "snapshots" / "good999"
+    good.mkdir(parents=True)
+    (repo / "refs").mkdir()
+    (repo / "refs" / "main").write_text("gone000")  # snapshot never written
+    _save_tiny_quantized(str(good))
+    monkeypatch.setenv("QUANTO_TPU_HF_CACHE", str(tmp_path / "cache"))
+    monkeypatch.setenv("QUANTO_TPU_OFFLINE", "1")
+
+    assert resolve_model_path("test-org/tiny-llama") == str(good)
+
+
 def test_offline_miss_gives_clean_error(tmp_path, monkeypatch):
     monkeypatch.setenv("QUANTO_TPU_HF_CACHE", str(tmp_path / "empty-cache"))
     monkeypatch.setenv("QUANTO_TPU_OFFLINE", "1")
