@@ -26,18 +26,28 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed (no-op if already initialized or single
-    process). On TPU pods all arguments are discovered automatically."""
-    if jax.process_count() > 1:
-        return
-    try:
+    """Initialize jax.distributed (no-op if already initialized). On TPU
+    pods all arguments are discovered automatically.
+
+    Must run before anything touches a JAX backend — do NOT probe
+    `jax.process_count()` here: that call itself initializes the local
+    backend and makes the real `jax.distributed.initialize` fail."""
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # already initialized
+    if coordinator_address is not None or num_processes is not None:
+        # Explicit wiring (tests, bespoke clusters): fail loudly.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    try:
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
-        # Already initialized, or single-process environment.
+        # Single-process environment with nothing to discover.
         pass
 
 

@@ -1,0 +1,165 @@
+"""Worker for true multi-process distributed tests (launched by
+test_multiprocess.py as 2 subprocesses, each with 4 virtual CPU devices).
+
+Every multi-host claim of the parallel/elastic layer previously rested on
+single-process simulation (`tests/conftest.py`); these scenarios run them
+with real process boundaries: `jax.distributed.initialize` on localhost,
+a DCN+ICI-shaped global mesh, a sharded quantized forward, the orbax
+cross-host-sharded checkpoint path, and `barrier_probe` against a live and
+a dead peer.
+
+Protocol: prints `RESULT <scenario> <payload>` on success; the parent
+asserts both workers print the same payload. Exits via os._exit so a dead
+peer can never wedge interpreter teardown (jax.distributed shutdown blocks
+on peers).
+"""
+
+import os
+import sys
+
+
+def main():
+    scenario, port, pid, nprocs, tmpdir = (
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+        sys.argv[5],
+    )
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from quanto_tpu.parallel import initialize
+
+    initialize(
+        coordinator_address=f"localhost:{port}", num_processes=nprocs, process_id=pid
+    )
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.device_count() == 4 * nprocs, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    fn = {"decode": run_decode, "orbax": run_orbax, "barrier": run_barrier}[scenario]
+    payload = fn(pid, tmpdir)
+    print(f"RESULT {scenario} {payload}", flush=True)
+    if scenario != "barrier":
+        # Exit in lockstep: if the coordinator (pid 0) hard-exits while a
+        # peer is still mid-scenario, that peer's coordination client
+        # terminates it ("leader task died"). The barrier scenario manages
+        # its own exits (pid 1 dies on purpose).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"quanto_tpu_test_exit_{scenario}")
+    # jax.distributed shutdown at interpreter exit blocks on peers; in the
+    # dead-peer scenario that would hang forever. Hard-exit everywhere.
+    os._exit(0)
+
+
+def _tiny_sharded_model(mesh, seed=0):
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import quanto_tpu as qt
+    from quanto_tpu.models import LlamaConfig, LlamaForCausalLM
+    from quanto_tpu.parallel import LLAMA_TP_RULES, shard_model
+
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64, dtype=jnp.float32,
+    )
+    model = LlamaForCausalLM(config, rngs=nnx.Rngs(seed))
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    return model
+
+
+def _global_logits(model, mesh):
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from flax import nnx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+
+    ids = jax.device_put(
+        jnp.asarray(np.array([[1, 5, 17, 99, 3, 42, 7, 88]], dtype=np.int64)),
+        NamedSharding(mesh, P()),
+    )
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        return nnx.merge(graphdef, state)(ids)[0]
+
+    with mesh:
+        out = fwd(state, ids)
+    return np.asarray(multihost_utils.process_allgather(out, tiled=True))
+
+
+def run_decode(pid, tmpdir):
+    """DCN(dp, across processes) x ICI(tp, within) mesh + sharded forward."""
+    from quanto_tpu.parallel import global_mesh
+
+    mesh = global_mesh({"dp": 2, "tp": 4})
+    # dp spans processes (process 0 owns dp=0, process 1 dp=1), tp is local.
+    dp_procs = {d.process_index for d in mesh.devices[0].ravel()}
+    assert dp_procs == {0}, dp_procs
+    logits = _global_logits(mesh=mesh, model=_tiny_sharded_model(mesh))
+    assert logits.ndim >= 2 and not (logits != logits).any()
+    return f"{float(abs(logits).sum()):.6e}"
+
+
+def run_orbax(pid, tmpdir):
+    """Cross-host-sharded checkpoint save/restore through the orbax path."""
+    import numpy as np
+
+    from quanto_tpu.parallel import ElasticCheckpointer, global_mesh
+
+    mesh = global_mesh({"dp": 2, "tp": 4})
+    model = _tiny_sharded_model(mesh)
+    ref = _global_logits(model, mesh)
+
+    ckpt = ElasticCheckpointer(tmpdir, interval_steps=1)
+    # Arrays committed to the cross-process mesh are not fully addressable
+    # from any one process -> this must take the collective orbax path on
+    # every process.
+    assert not ckpt._fully_addressable(model)
+    ckpt.save(3, model, {"tag": "mp"})
+    # Idempotent re-save: the broadcast exists-check must keep all processes
+    # on the same (early-return) branch instead of wedging half of them
+    # inside a second collective save.
+    ckpt.save(3, model, {"tag": "mp"})
+
+    # A differently-seeded model: restoring must overwrite it exactly.
+    other = _tiny_sharded_model(mesh, seed=1)
+    state = ckpt.restore(other)
+    assert state["step"] == 3 and state["extra"]["tag"] == "mp"
+    out = _global_logits(other, mesh)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    return f"{float(abs(out).sum()):.6e}"
+
+
+def run_barrier(pid, tmpdir):
+    """barrier_probe: True with live peers, False when a peer has died."""
+    from quanto_tpu.parallel import barrier_probe
+
+    ok = barrier_probe(timeout_s=60.0)
+    assert ok, "live-peer barrier probe should succeed"
+    if pid == 1:
+        # Die without reaching the second barrier: peer 0 must detect it.
+        print("RESULT barrier live-ok", flush=True)
+        os._exit(0)
+    dead = barrier_probe(timeout_s=6.0)
+    assert not dead, "barrier probe must time out against a dead peer"
+    return "live-ok"
+
+
+if __name__ == "__main__":
+    main()
