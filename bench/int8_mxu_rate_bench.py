@@ -40,9 +40,10 @@ def make_dot(a, b, pet, epilogue=None, convert_b=None):
         )
         if epilogue is not None:
             out = epilogue(out)
-        # Opaque reduction of the output back into the carry: min(x, 0) is
-        # not const-foldable, so the scan body keeps a true data dependency.
-        c2 = lax.min(out[0, 0], out.dtype.type(0)).astype(a.dtype)
+        # Opaque reduction over the WHOLE output back into the carry — a
+        # single-element carry (out[0, 0]) lets XLA dead-code-eliminate the
+        # matmul down to one dot product (measured: constant time across M).
+        c2 = jnp.min(out).astype(a.dtype)
         return c2, ()
 
     @jax.jit

@@ -69,6 +69,7 @@ def main():
 
     cfg = config_8b(32)
     for tag, kw in [("int8", dict(weights="qint8", exclude="lm_head")),
+                    ("w8a8", dict(weights="qint8", activations="qint8", exclude="lm_head")),
                     ("int4", dict(weights="qint4", exclude="lm_head")),
                     ("w4a8", dict(weights="qint4", activations="qint8", exclude="lm_head"))]:
         log(f"building 8B {tag} on host...")
