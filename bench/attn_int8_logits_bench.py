@@ -29,7 +29,13 @@ import numpy as np
 from jax import lax
 
 
-STEPS = 32
+# Two-point timing: time a jit at STEPS_HI and STEPS_LO iterations and take
+# the slope — this subtracts one-time costs inside the jit (notably the
+# int8->s4 cache conversion that MUST happen in-jit: s4 arrays cannot cross
+# the host<->device or jit-argument boundary on the axon backend, every
+# attempt recurses in device_put).
+STEPS_HI = 48
+STEPS_LO = 16
 
 
 def attn_convert(q5, kd, vd, ks, vs):
@@ -81,6 +87,17 @@ def attn_int4(q5, kd4, vd4, ks, vs, int_logits=True):
     return attn_convert(q5, kd, vd, ks, vs)
 
 
+def with_s4_cache(fn):
+    """Wrap an attention fn so its int8 K/V payload args are converted to s4
+    first — inside the jit, since s4 can't be a jit argument here. The
+    conversion cost is subtracted by the two-point timing."""
+
+    def wrapped(q5, kd8, vd8, *args):
+        return fn(q5, kd8.astype(jnp.int4), vd8.astype(jnp.int4), *args)
+
+    return wrapped
+
+
 def attn_bf16(q5, k, v):
     logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
     logits = logits * (q5.shape[-1] ** -0.5)
@@ -88,20 +105,30 @@ def attn_bf16(q5, k, v):
     return jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
 
 
-def loop(fn, q5, *args):
-    """Run fn STEPS times with a carry-perturbed q (defeats CSE)."""
+def loop(fn, q5, *args, steps=STEPS_HI, s4=False):
+    """Run fn `steps` times with a carry-perturbed q (defeats CSE). With
+    s4=True the K/V payload args (int8) are converted to s4 once inside the
+    jit before the scan."""
 
-    def body(c, _):
-        out = fn(q5 + c, *args)
-        # Reduce over the WHOLE output: a single-element carry lets XLA
-        # dead-code-eliminate all but one (batch, head) of the attention.
-        c2 = jnp.min(out.astype(jnp.float32)).astype(jnp.bfloat16)
-        return c2 * jnp.bfloat16(1e-6), ()
+    def body(prepped):
+        def _body(c, _):
+            out = fn(q5 + c, *prepped)
+            # Reduce over the WHOLE output: a single-element carry lets XLA
+            # dead-code-eliminate all but one (batch, head) of the attention.
+            c2 = jnp.min(out.astype(jnp.float32)).astype(jnp.bfloat16)
+            return c2 * jnp.bfloat16(1e-6), ()
+
+        c, _ = lax.scan(_body, jnp.bfloat16(0), None, length=steps)
+        return c
 
     @jax.jit
     def g():
-        c, _ = lax.scan(body, jnp.bfloat16(0), None, length=STEPS)
-        return c
+        if s4:
+            kd8, vd8 = args[0], args[1]
+            prepped = (kd8.astype(jnp.int4), vd8.astype(jnp.int4)) + args[2:]
+        else:
+            prepped = args
+        return body(prepped)
 
     return g
 
@@ -128,41 +155,54 @@ def main():
         vd = jnp.asarray(np.clip(np.round(vf / vs), -127, 127), jnp.int8)
         ksj, vsj = jnp.asarray(ks), jnp.asarray(vs)
         kb, vb = jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16)
-        # int4 cache: same per-slot scheme with qmax=7
+        # int4 cache: same per-slot scheme with qmax=7; payload shipped to
+        # the device as int8 and converted to s4 INSIDE each jit (s4 arrays
+        # can't cross the jit/device boundary on this backend).
         ks4 = np.maximum(np.abs(kf).max(-1, keepdims=True) / 7.0, 1e-8)
         vs4 = np.maximum(np.abs(vf).max(-1, keepdims=True) / 7.0, 1e-8)
-        kd4 = jnp.asarray(np.clip(np.round(kf / ks4), -7, 7), jnp.int4)
-        vd4 = jnp.asarray(np.clip(np.round(vf / vs4), -7, 7), jnp.int4)
+        kd4_8 = jnp.asarray(np.clip(np.round(kf / ks4), -7, 7), jnp.int8)
+        vd4_8 = jnp.asarray(np.clip(np.round(vf / vs4), -7, 7), jnp.int8)
         ks4j, vs4j = jnp.asarray(ks4), jnp.asarray(vs4)
 
         # numerics vs f32 reference on the dequantized cache
         ref = attn_bf16(q5.astype(jnp.float32), jnp.asarray(kf), jnp.asarray(vf))
         for tag, out in (
-            ("convert", attn_convert(q5, kd, vd, ksj, vsj)),
-            ("int8-logits", attn_int8_logits(q5, kd, vd, ksj, vsj)),
-            ("full-int8", attn_int8_logits(q5, kd, vd, ksj, vsj, int8_pv=True)),
-            ("int4-intlogits", attn_int4(q5, kd4, vd4, ks4j, vs4j)),
-            ("int4-convert", attn_int4(q5, kd4, vd4, ks4j, vs4j, int_logits=False)),
+            ("convert", jax.jit(attn_convert)(q5, kd, vd, ksj, vsj)),
+            ("int8-logits", jax.jit(attn_int8_logits)(q5, kd, vd, ksj, vsj)),
+            ("full-int8", jax.jit(lambda *a: attn_int8_logits(*a, int8_pv=True))(q5, kd, vd, ksj, vsj)),
+            ("int4-intlogits", jax.jit(with_s4_cache(attn_int4))(q5, kd4_8, vd4_8, ks4j, vs4j)),
+            ("int4-convert", jax.jit(with_s4_cache(lambda *a: attn_int4(*a, int_logits=False)))(q5, kd4_8, vd4_8, ks4j, vs4j)),
         ):
             print(f"S={S} {tag}: cosine={cosine(ref, out):.6f}", flush=True)
 
         cache_gb = 2 * B * S * Hkv * D / 1e9  # int8 K+V payload bytes
+
+        def make(fn, *args, s4=False):
+            return (
+                loop(fn, *args, steps=STEPS_HI, s4=s4),
+                loop(fn, *args, steps=STEPS_LO, s4=s4),
+            )
+
         variants = {
-            "bf16-cache": loop(attn_bf16, q5, kb, vb),
-            "convert": loop(attn_convert, q5, kd, vd, ksj, vsj),
-            "int8-logits": loop(lambda q, *a: attn_int8_logits(q, *a), q5, kd, vd, ksj, vsj),
-            "full-int8": loop(lambda q, *a: attn_int8_logits(q, *a, int8_pv=True), q5, kd, vd, ksj, vsj),
-            "int4-intlogits": loop(attn_int4, q5, kd4, vd4, ks4j, vs4j),
-            "int4-convert": loop(lambda q, *a: attn_int4(q, *a, int_logits=False), q5, kd4, vd4, ks4j, vs4j),
+            "bf16-cache": make(attn_bf16, q5, kb, vb),
+            "convert": make(attn_convert, q5, kd, vd, ksj, vsj),
+            "int8-logits": make(lambda q, *a: attn_int8_logits(q, *a), q5, kd, vd, ksj, vsj),
+            "full-int8": make(lambda q, *a: attn_int8_logits(q, *a, int8_pv=True), q5, kd, vd, ksj, vsj),
+            "int4-intlogits": make(attn_int4, q5, kd4_8, vd4_8, ks4j, vs4j, s4=True),
+            "int4-convert": make(lambda q, *a: attn_int4(q, *a, int_logits=False), q5, kd4_8, vd4_8, ks4j, vs4j, s4=True),
         }
-        for tag, fn in variants.items():
-            fn().block_until_ready()
-            best = float("inf")
+        for tag, (hi, lo) in variants.items():
+            hi().block_until_ready()
+            lo().block_until_ready()
+            best_hi = best_lo = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                fn().block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            per_step = best / STEPS
+                hi().block_until_ready()
+                best_hi = min(best_hi, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                lo().block_until_ready()
+                best_lo = min(best_lo, time.perf_counter() - t0)
+            per_step = (best_hi - best_lo) / (STEPS_HI - STEPS_LO)
             width = 2 if tag == "bf16-cache" else (0.5 if tag.startswith("int4") else 1)
             bytes_gb = cache_gb * width
             print(

@@ -71,7 +71,7 @@ def main():
         return ms
 
     short = run(512, "qint8")
-    for kv in (None, "qint8"):
+    for kv in (None, "qint8", "qint4"):
         long_ms = run(8192, kv)
         log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
 

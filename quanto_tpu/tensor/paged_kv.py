@@ -74,6 +74,11 @@ def init_paged_kv_cache(
     if kv_quant is not None:
         qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
         dtype = qt.dtype
+        if not qt.is_floating_point and qt.bits == 4:
+            # Nibble-packed int4 pages (see tensor/kv_cache.py).
+            if head_dim % 2:
+                raise ValueError("int4 paged KV cache requires an even head_dim")
+            head_dim, dtype = head_dim // 2, jnp.uint8
     shape = (n_pages, page_size, n_kv_heads, head_dim)
     # Scale pages only exist for quantized payloads (dummy scalar otherwise).
     sshape = (n_pages, page_size, n_kv_heads, 1) if qt is not None else (1, 1, 1, 1)
@@ -155,8 +160,14 @@ def paged_read_raw(layer: PagedKVLayer, batch: int, dtype):
         g = pages[table]  # [B, P, ps, H, D]
         return g.reshape(B, P * ps, *pages.shape[2:])
 
-    k = gather(layer._k_pages).astype(dtype)
-    v = gather(layer._v_pages).astype(dtype)
+    if layer._k_pages.dtype == jnp.uint8:  # nibble-packed int4 pages
+        from .kv_cache import _unpack_nibbles
+
+        k = _unpack_nibbles(gather(layer._k_pages), dtype)
+        v = _unpack_nibbles(gather(layer._v_pages), dtype)
+    else:
+        k = gather(layer._k_pages).astype(dtype)
+        v = gather(layer._v_pages).astype(dtype)
     if layer.qtype_name is None:
         return k, v, None, None
     return k, v, gather(layer._k_scale), gather(layer._v_scale)

@@ -25,13 +25,14 @@ def model():
     return LlamaForCausalLM(cfg, rngs=nnx.Rngs(0))
 
 
-@pytest.mark.parametrize("kv_quant", ["qint8", "qfloat8_e4m3fn"])
+@pytest.mark.parametrize("kv_quant", ["qint8", "qfloat8_e4m3fn", "qint4"])
 def test_quantized_kv_cache_close_to_float(model, kv_quant):
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 10)), jnp.int32)
     full, _ = model(ids)
 
-    # fp8 e4m3 has 3 mantissa bits -> looser tolerance than int8.
-    rtol = 1e-3 if kv_quant == "qint8" else 5e-3
+    # fp8 e4m3 has 3 mantissa bits -> looser tolerance than int8; int4 has
+    # 3 magnitude bits + per-slot scales -> looser again.
+    rtol = {"qint8": 1e-3, "qfloat8_e4m3fn": 5e-3, "qint4": 5e-2}[kv_quant]
     cache = init_kv_cache(model.config, 2, 16, kv_quant=kv_quant)
     assert isinstance(cache[0], QKVCacheLayer)
     logits, cache = model(ids[:, :6], cache, 0)
@@ -56,3 +57,51 @@ def test_quantized_kv_cache_under_jit(model):
     ref, _ = model(ids)
     assert_similar(logits, ref, rtol=1e-3)
     assert new_cache[0]._k_data.dtype == jnp.int8
+
+
+def test_int4_kv_cache_pack_roundtrip():
+    """Nibble pack/unpack is exact on the quantized codes, and the packed
+    payload crosses the jit boundary as plain uint8."""
+    from quanto_tpu.tensor.kv_cache import _pack_nibbles, _unpack_nibbles
+
+    rng = np.random.RandomState(0)
+    codes = jnp.asarray(rng.randint(-7, 8, (2, 5, 3, 8)), jnp.int8)
+    packed = _pack_nibbles(codes)
+    assert packed.dtype == jnp.uint8 and packed.shape == (2, 5, 3, 4)
+    out = jax.jit(lambda p: _unpack_nibbles(p, jnp.int8))(packed)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+
+
+def test_kv_cache_kl_ordering(model):
+    """Logits-KL of cached decode vs the uncached forward must rank by cache
+    precision (float ~ 0 < int8 < int4) and stay under ceilings — the
+    fidelity gate for the int4 cache (VERDICT round-2 next #1)."""
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (2, 12)), jnp.int32)
+    ref, _ = model(ids)
+
+    def kl_for(kv_quant):
+        cache = init_kv_cache(model.config, 2, 16, kv_quant=kv_quant) if kv_quant else (
+            init_kv_cache(model.config, 2, 16)
+        )
+        logits, cache = model(ids[:, :8], cache, 0)
+        outs = [logits]
+        for t in range(8, 12):
+            step, cache = model(ids[:, t : t + 1], cache, t)
+            outs.append(step)
+        got = jnp.concatenate(outs, axis=1)
+        p = jax.nn.log_softmax(ref.astype(jnp.float32), -1)
+        q = jax.nn.log_softmax(got.astype(jnp.float32), -1)
+        return float(jnp.mean(jnp.sum(jnp.exp(p) * (p - q), -1)))
+
+    kl_f, kl_8, kl_4 = kl_for(None), kl_for("qint8"), kl_for("qint4")
+    assert kl_f < 1e-6, kl_f
+    assert kl_8 < kl_4, (kl_8, kl_4)
+    assert kl_4 < 0.05, kl_4
+
+
+def test_int4_kv_cache_payload_bytes(model):
+    cache = init_kv_cache(model.config, 2, 16, kv_quant="qint4")
+    c8 = init_kv_cache(model.config, 2, 16, kv_quant="qint8")
+    assert cache[0]._k_data.dtype == jnp.uint8
+    assert cache[0]._k_data.size * 2 == c8[0]._k_data.size  # half the payload bytes
+    assert cache[0]._k_data.shape[-1] * 2 == c8[0]._k_data.shape[-1]

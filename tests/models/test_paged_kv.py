@@ -21,7 +21,7 @@ def _tiny():
     return LlamaForCausalLM(config, rngs=nnx.Rngs(0))
 
 
-@pytest.mark.parametrize("kv_quant", [None, "qint8"], ids=["float", "int8"])
+@pytest.mark.parametrize("kv_quant", [None, "qint8", "qint4"], ids=["float", "int8", "int4"])
 def test_paged_cache_matches_dense(kv_quant):
     """Prefill + decode through a page-table cache equals the dense cache
     (identity table: slot b owns pages [b*P .. b*P+P-1], page 0 kept free by
