@@ -26,6 +26,11 @@ from quanto_tpu.models.serving import BatchedEngine
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", choices=["1b", "8b"], default="1b",
+                   help="8b = Llama-3.1-8B-shaped north-star serving slice "
+                   "(int4+head4 weights, built on host)")
+    p.add_argument("--kv", choices=["bf16", "qint8", "qint4"], default="bf16",
+                   help="KV cache storage for the engine")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--burst", type=int, default=16)
@@ -38,8 +43,17 @@ def main():
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    if on_tpu and args.model == "8b":
+        config = LlamaConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            max_position_embeddings=4096, rope_theta=500000.0, dtype=jnp.bfloat16,
+        )
+        prompt_lens = [512, 384, 448, 256, 512, 320, 192, 448][: args.batch]
+        max_len = 768
+    elif on_tpu:
         config = LlamaConfig(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
             num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
@@ -56,16 +70,39 @@ def main():
         prompt_lens = [16, 24, 8, 12][: args.batch]
         max_len = 64
 
-    model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
-    qt.quantize(model, weights="qint4", exclude="lm_head")
-    qt.freeze(model)
+    if args.model == "8b" and on_tpu:
+        # bf16 8B exceeds the 16 GB chip: build + quantize on host (int4
+        # including the head, the headline config), then transfer.
+        from quanto_tpu.ops import config as ops_config
 
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+            qt.quantize(model, weights="qint4")
+            ops_config.set_backend(pallas_qbits=True)
+            try:
+                qt.freeze(model)
+            finally:
+                ops_config.set_backend()
+        dev = jax.devices()[0]
+        for _path, node in nnx.iter_graph(model):
+            if isinstance(node, nnx.Variable):
+                v = node.get_value()
+                if v is not None:
+                    node.set_value(jax.device_put(v, dev))
+    else:
+        model = LlamaForCausalLM(config, rngs=nnx.Rngs(0))
+        qt.quantize(model, weights="qint4", exclude="lm_head")
+        qt.freeze(model)
+
+    kv_quant = None if args.kv == "bf16" else args.kv
     rng = np.random.RandomState(0)
     prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
 
     def run(burst, batch_prefill=False, chunk=64):
         engine = BatchedEngine(
-            model, max_batch=len(prompts), max_len=max_len, prefill_chunk=chunk
+            model, max_batch=len(prompts), max_len=max_len, prefill_chunk=chunk,
+            kv_quant=kv_quant,
         )
 
         def admit():

@@ -425,20 +425,15 @@ class DeepseekV3ForCausalLM(nnx.Module):
             from ..tensor.kv_cache import QKVCacheLayer
             from ..tensor.qtype import qtypes
 
+            from ..tensor.kv_cache import device_zeros
+
             qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
-            if not qt.is_floating_point and qt.bits == 4:
-                # Nibble-packed int4 latent cache (uint8 payload, see
-                # tensor/kv_cache.py); both trailing dims must be even.
-                if c.kv_lora_rank % 2 or c.qk_rope_head_dim % 2:
-                    raise ValueError("int4 MLA cache requires even kv_lora_rank / qk_rope_head_dim")
-                kdim, vdim, sdtype = c.kv_lora_rank // 2, c.qk_rope_head_dim // 2, jnp.uint8
-            else:
-                kdim, vdim, sdtype = c.kv_lora_rank, c.qk_rope_head_dim, qt.dtype
+            sdtype = jnp.int4 if (not qt.is_floating_point and qt.bits == 4) else qt.dtype
             return tuple(
                 QKVCacheLayer(
-                    _k_data=jnp.zeros((batch, max_len, 1, kdim), sdtype),
+                    _k_data=device_zeros((batch, max_len, 1, c.kv_lora_rank), sdtype),
                     _k_scale=jnp.ones((batch, max_len, 1, 1), jnp.float32),
-                    _v_data=jnp.zeros((batch, max_len, 1, vdim), sdtype),
+                    _v_data=device_zeros((batch, max_len, 1, c.qk_rope_head_dim), sdtype),
                     _v_scale=jnp.ones((batch, max_len, 1, 1), jnp.float32),
                     qtype_name=qt.name,
                 )

@@ -53,16 +53,16 @@ def try_flash_decode(
     num_heads = q.shape[2]
     if isinstance(new_cache, QKVCacheLayer):
         kd, vd = new_cache._k_data, new_cache._v_data
-        if kd.dtype == jnp.uint8:
-            # Nibble-packed int4 cache: outside the kernels' envelope (they
-            # read the payload directly); the einsum path's fused s4 bitcast
-            # + convert is also the measured-fastest route (46 us vs 115
-            # int8 at 8B/S=8192, bench/attn_int8_logits_bench.py).
+        if kd.dtype == jnp.int4:
+            # s4 cache: outside the kernels' envelope (they read the payload
+            # directly); the einsum path's fused s4 convert is also the
+            # measured-fastest route (46 us vs 115 int8 at 8B/S=8192,
+            # bench/attn_int8_logits_bench.py).
             return None
         ks, vs = new_cache._k_scale, new_cache._v_scale
     elif isinstance(new_cache, PagedKVLayer):
-        if new_cache._k_pages.dtype == jnp.uint8:
-            return None  # nibble-packed int4 pages: einsum path (see above)
+        if new_cache._k_pages.dtype == jnp.int4:
+            return None  # s4 pages: einsum path (see above)
         # Dense gathered view; in-kernel page-table indirection is the
         # round-2 bandwidth optimization.
         kd, vd, ks, vs = paged_read_raw(new_cache, B, new_cache._k_pages.dtype)

@@ -10,15 +10,17 @@ storage dtype with `scale[B, S, H, 1]` float32, quantized at write time from
 the absmax over the head dim. Dequantization happens in-register inside the
 attention einsum's operand read (XLA fuses the convert+mul).
 
-int4 cache (qint4): the payload is stored nibble-packed as uint8
-`[B, S, H, D//2]` (element 2i in the low nibble — XLA's little-endian s4
-layout) and bitcast to native s4 inside the jit at read time, so the s4 ->
-float convert still fuses into the einsum operand read while HBM traffic
-halves again vs int8. Packed-u8 (rather than native s4 arrays) because s4
-arrays cannot cross the jit/device boundary on the axon TPU backend
-(device_put recursion), and the cache is a jit argument every decode step.
-Measured op-level at 8B decode shapes (B=4, S=8192, bench/
-attn_int8_logits_bench.py): 46 us/step vs 115 int8 vs 203 bf16 — 2.5x.
+int4 cache (qint4): the payload is a native s4 array `[B, S, H, D]` — XLA
+stores it 2 codes/byte in HBM and fuses the s4 -> float convert into the
+attention einsum's operand read exactly like int8's, so decode cache traffic
+halves again vs int8. Measured op-level at 8B decode shapes (B=4, S=8192,
+bench/attn_int8_logits_bench.py): 46 us/step vs 115 int8 vs 203 bf16 — 2.5x.
+A nibble-packed-uint8 + in-jit bitcast variant was tried first and is 1.4x
+SLOWER than the int8 cache at the model level: the bitcast yields
+[..., D/2, 2] whose merge back to [..., D] forces a materialized relayout
+(2-lane tiled intermediate). Native s4 needs two axon-backend accommodations
+(see utils/axon_compat.py): a shard-arg layout shim, and creating the zeros
+on device inside a jit.
 
 The cache is a plain pytree (`QKVCacheLayer`) so it flows through jit,
 lax.scan carries, and `NamedSharding` like the float cache.
@@ -71,6 +73,19 @@ def _is_int4(qt: qtype) -> bool:
     return not qt.is_floating_point and qt.bits == 4
 
 
+def device_zeros(shape, dtype) -> jnp.ndarray:
+    """`jnp.zeros` that also works for sub-byte dtypes on the axon backend:
+    the constant is materialized inside a jit (no host -> device transfer of
+    an s4 buffer), and the shard-arg shim lets the result flow into later
+    jits."""
+    if dtype in (jnp.int4, jnp.uint4):
+        from ..utils import axon_compat
+
+        axon_compat.apply()
+        return jax.jit(lambda: jnp.zeros(shape, dtype))()
+    return jnp.zeros(shape, dtype)
+
+
 def init_quantized_kv_cache(
     n_layers: int,
     batch: int,
@@ -79,41 +94,19 @@ def init_quantized_kv_cache(
     head_dim: int,
     qt: qtype = qint8,
 ) -> Tuple[QKVCacheLayer, ...]:
-    if _is_int4(qt):
-        if head_dim % 2:
-            raise ValueError("int4 KV cache requires an even head_dim")
-        shape = (batch, max_len, n_kv_heads, head_dim // 2)
-        sdtype = jnp.uint8  # nibble-packed payload
-    else:
-        shape = (batch, max_len, n_kv_heads, head_dim)
-        sdtype = qt.dtype
+    shape = (batch, max_len, n_kv_heads, head_dim)
     sshape = (batch, max_len, n_kv_heads, 1)
+    sdtype = jnp.int4 if _is_int4(qt) else qt.dtype
     return tuple(
         QKVCacheLayer(
-            _k_data=jnp.zeros(shape, sdtype),
+            _k_data=device_zeros(shape, sdtype),
             _k_scale=jnp.ones(sshape, jnp.float32),
-            _v_data=jnp.zeros(shape, sdtype),
+            _v_data=device_zeros(shape, sdtype),
             _v_scale=jnp.ones(sshape, jnp.float32),
             qtype_name=qt.name,
         )
         for _ in range(n_layers)
     )
-
-
-def _pack_nibbles(codes: jnp.ndarray) -> jnp.ndarray:
-    """int8 codes in [-8, 7], [..., D] -> nibble-packed uint8 [..., D//2]
-    (element 2i -> low nibble, matching XLA's s4 bitcast layout)."""
-    u = codes.astype(jnp.uint8) & 0x0F
-    lo, hi = u[..., 0::2], u[..., 1::2]
-    return lo | (hi << 4)
-
-
-def _unpack_nibbles(packed: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Packed uint8 [..., D//2] -> `dtype` [..., D] via a native s4 bitcast;
-    under jit XLA fuses the s4 -> float convert into the consumer's operand
-    read, so the HBM read stays at the packed width."""
-    s4 = lax.bitcast_convert_type(packed, jnp.int4)  # [..., D//2, 2]
-    return s4.astype(dtype).reshape(*packed.shape[:-1], packed.shape[-1] * 2)
 
 
 def _quantize_slot(t: jnp.ndarray, qt: qtype):
@@ -125,8 +118,8 @@ def _quantize_slot(t: jnp.ndarray, qt: qtype):
     if not qt.is_floating_point:
         data = jnp.round(data)
     if _is_int4(qt):
-        codes = jnp.clip(data, -qt.qmax, qt.qmax).astype(jnp.int8)
-        return _pack_nibbles(codes), scale
+        # Symmetric: stay off -8 so the code range mirrors (+/-7).
+        return jnp.clip(data, -qt.qmax, qt.qmax).astype(jnp.int4), scale
     data = jnp.clip(data, qt.qmin, qt.qmax).astype(qt.dtype)
     return data, scale
 
@@ -175,12 +168,8 @@ def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-cache K/V in the compute dtype (materializes the dequantization —
     prefer `kv_read_raw` + scale factoring on the hot path)."""
     if isinstance(layer_cache, QKVCacheLayer):
-        kd, vd = layer_cache._k_data, layer_cache._v_data
-        if kd.dtype == jnp.uint8:  # nibble-packed int4
-            kd = _unpack_nibbles(kd, jnp.float32)
-            vd = _unpack_nibbles(vd, jnp.float32)
-        k = (kd.astype(jnp.float32) * layer_cache._k_scale).astype(dtype)
-        v = (vd.astype(jnp.float32) * layer_cache._v_scale).astype(dtype)
+        k = (layer_cache._k_data.astype(jnp.float32) * layer_cache._k_scale).astype(dtype)
+        v = (layer_cache._v_data.astype(jnp.float32) * layer_cache._v_scale).astype(dtype)
         return k, v
     ck, cv = layer_cache
     return ck.astype(dtype), cv.astype(dtype)
@@ -206,18 +195,9 @@ def kv_read_raw(layer_cache, dtype, batch: int = None):
     if isinstance(layer_cache, PagedKVLayer):
         return paged_read_raw(layer_cache, batch, dtype)
     if isinstance(layer_cache, QKVCacheLayer):
-        kd, vd = layer_cache._k_data, layer_cache._v_data
-        if kd.dtype == jnp.uint8:  # nibble-packed int4: bitcast to s4; the
-            # s4 -> dtype convert fuses into the attention einsum like int8's.
-            return (
-                _unpack_nibbles(kd, dtype),
-                _unpack_nibbles(vd, dtype),
-                layer_cache._k_scale,
-                layer_cache._v_scale,
-            )
         return (
-            kd.astype(dtype),
-            vd.astype(dtype),
+            layer_cache._k_data.astype(dtype),
+            layer_cache._v_data.astype(dtype),
             layer_cache._k_scale,
             layer_cache._v_scale,
         )

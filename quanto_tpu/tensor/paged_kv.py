@@ -73,20 +73,18 @@ def init_paged_kv_cache(
     qt: Optional[qtype] = None
     if kv_quant is not None:
         qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
-        dtype = qt.dtype
-        if not qt.is_floating_point and qt.bits == 4:
-            # Nibble-packed int4 pages (see tensor/kv_cache.py).
-            if head_dim % 2:
-                raise ValueError("int4 paged KV cache requires an even head_dim")
-            head_dim, dtype = head_dim // 2, jnp.uint8
+        # int4 pages are native s4 (see tensor/kv_cache.py module docs).
+        dtype = jnp.int4 if (not qt.is_floating_point and qt.bits == 4) else qt.dtype
     shape = (n_pages, page_size, n_kv_heads, head_dim)
     # Scale pages only exist for quantized payloads (dummy scalar otherwise).
     sshape = (n_pages, page_size, n_kv_heads, 1) if qt is not None else (1, 1, 1, 1)
+    from .kv_cache import device_zeros
+
     table = jnp.zeros((max_slots, pages_per_slot), jnp.int32)
     return tuple(
         PagedKVLayer(
-            _k_pages=jnp.zeros(shape, dtype),
-            _v_pages=jnp.zeros(shape, dtype),
+            _k_pages=device_zeros(shape, dtype),
+            _v_pages=device_zeros(shape, dtype),
             _k_scale=jnp.ones(sshape, jnp.float32),
             _v_scale=jnp.ones(sshape, jnp.float32),
             _table=table,
@@ -160,14 +158,8 @@ def paged_read_raw(layer: PagedKVLayer, batch: int, dtype):
         g = pages[table]  # [B, P, ps, H, D]
         return g.reshape(B, P * ps, *pages.shape[2:])
 
-    if layer._k_pages.dtype == jnp.uint8:  # nibble-packed int4 pages
-        from .kv_cache import _unpack_nibbles
-
-        k = _unpack_nibbles(gather(layer._k_pages), dtype)
-        v = _unpack_nibbles(gather(layer._v_pages), dtype)
-    else:
-        k = gather(layer._k_pages).astype(dtype)
-        v = gather(layer._v_pages).astype(dtype)
+    k = gather(layer._k_pages).astype(dtype)
+    v = gather(layer._v_pages).astype(dtype)
     if layer.qtype_name is None:
         return k, v, None, None
     return k, v, gather(layer._k_scale), gather(layer._v_scale)

@@ -59,17 +59,26 @@ def test_quantized_kv_cache_under_jit(model):
     assert new_cache[0]._k_data.dtype == jnp.int8
 
 
-def test_int4_kv_cache_pack_roundtrip():
-    """Nibble pack/unpack is exact on the quantized codes, and the packed
-    payload crosses the jit boundary as plain uint8."""
-    from quanto_tpu.tensor.kv_cache import _pack_nibbles, _unpack_nibbles
+def test_int4_kv_cache_s4_roundtrip():
+    """s4 codes survive the quantize -> cache write -> read-raw round trip
+    exactly, across a jit boundary (the per-step cache handoff)."""
+    from quanto_tpu.tensor.kv_cache import _quantize_slot, kv_update, kv_read_raw
+    from quanto_tpu.tensor.qtype import qint4
+    from quanto_tpu.tensor.kv_cache import init_quantized_kv_cache
 
     rng = np.random.RandomState(0)
-    codes = jnp.asarray(rng.randint(-7, 8, (2, 5, 3, 8)), jnp.int8)
-    packed = _pack_nibbles(codes)
-    assert packed.dtype == jnp.uint8 and packed.shape == (2, 5, 3, 4)
-    out = jax.jit(lambda p: _unpack_nibbles(p, jnp.int8))(packed)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(codes))
+    kv = jnp.asarray(rng.standard_normal((2, 5, 3, 8)), jnp.float32)
+    (cache,) = init_quantized_kv_cache(1, 2, 8, 3, 8, qint4)
+    assert cache._k_data.dtype == jnp.int4
+
+    cache2 = jax.jit(lambda c, k, v: kv_update(c, k, v, 0))(cache, kv, kv)
+    kd, vd, ks, vs = jax.jit(lambda c: kv_read_raw(c, jnp.float32))(cache2)
+    codes, scale = _quantize_slot(kv, qint4)
+    np.testing.assert_array_equal(np.asarray(kd[:, :5]), np.asarray(codes.astype(jnp.float32)))
+    np.testing.assert_allclose(np.asarray(ks[:, :5]), np.asarray(scale), rtol=1e-5)
+    # dequantized read stays within one quantization step
+    deq = np.asarray(kd[:, :5]) * np.asarray(ks[:, :5])
+    assert np.max(np.abs(deq - np.asarray(kv))) <= np.max(np.asarray(scale)) * 0.51
 
 
 def test_kv_cache_kl_ordering(model):
@@ -99,9 +108,12 @@ def test_kv_cache_kl_ordering(model):
     assert kl_4 < 0.05, kl_4
 
 
-def test_int4_kv_cache_payload_bytes(model):
+def test_int4_kv_cache_payload_dtype(model):
+    """The int4 cache payload is native s4 (XLA stores it 2 codes/byte on
+    device — `nbytes` reports the logical 1-byte itemsize, so the physical
+    halving is asserted at the bench level, not here)."""
     cache = init_kv_cache(model.config, 2, 16, kv_quant="qint4")
     c8 = init_kv_cache(model.config, 2, 16, kv_quant="qint8")
-    assert cache[0]._k_data.dtype == jnp.uint8
-    assert cache[0]._k_data.size * 2 == c8[0]._k_data.size  # half the payload bytes
-    assert cache[0]._k_data.shape[-1] * 2 == c8[0]._k_data.shape[-1]
+    assert cache[0]._k_data.dtype == jnp.int4
+    assert cache[0]._v_data.dtype == jnp.int4
+    assert cache[0]._k_data.shape == c8[0]._k_data.shape

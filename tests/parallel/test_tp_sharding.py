@@ -102,6 +102,45 @@ def test_tp_sharded_decode_with_cache():
     np.testing.assert_allclose(np.asarray(step_logits[:, 0]), np.asarray(full[:, 3]), rtol=1e-4, atol=1e-4)
 
 
+def test_tp_sharded_decode_with_int4_cache():
+    """The s4 KV cache shards and decodes under a dp x tp mesh (the payload's
+    head axis splits over tp like the int8 cache's)."""
+    model = _tiny_llama()
+    qt.quantize(model, weights="qint8", exclude="lm_head")
+    qt.freeze(model)
+    ids = jnp.asarray(np.array([[1, 5, 17, 99]] * 2, dtype=np.int64))
+    full, _ = model(ids)
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    shard_model(model, mesh, LLAMA_TP_RULES)
+    cache = init_kv_cache(model.config, 2, 8, kv_quant="qint4")
+    cache = shard_kv_cache(cache, mesh)
+    assert cache[0]._k_data.dtype == jnp.int4
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def prefill(state, ids, cache):
+        m = nnx.merge(graphdef, state)
+        return m(ids, cache, 0)
+
+    @jax.jit
+    def step(state, tok, cache, pos):
+        m = nnx.merge(graphdef, state)
+        return m(tok, cache, pos)
+
+    with mesh:
+        logits, cache = prefill(state, ids[:, :3], cache)
+        step_logits, cache = step(state, ids[:, 3:4], cache, 3)
+    # int4 cache: quantization error dominates -- gate on cosine, not allclose.
+    def cos(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+
+    assert cos(logits, full[:, :3]) > 0.99
+    assert cos(step_logits[:, 0], full[:, 3]) > 0.99
+
+
 def test_qat_training_step_dp_tp():
     """One QAT (fake-quant STE) training step over a dp x tp mesh."""
     model = _tiny_llama()
