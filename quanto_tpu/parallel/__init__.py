@@ -1,6 +1,11 @@
 from .distributed import global_mesh, initialize
 from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
-from .moe import EPSparseMoeBlock, convert_moe_to_ep
+from .moe import (
+    EPSparseMoeBlock,
+    GatheredSparseMoeBlock,
+    convert_moe_to_ep,
+    convert_moe_to_gathered,
+)
 from .sharding import (
     DEEPSEEK_V3_TP_RULES,
     FALCON_TP_RULES,

@@ -44,7 +44,12 @@ from ..tensor.qarray import QArray
 from ..tensor.weights import WeightQBitsTpuArray, WeightQBytesArray
 
 
-__all__ = ["EPSparseMoeBlock", "convert_moe_to_ep"]
+__all__ = [
+    "EPSparseMoeBlock",
+    "GatheredSparseMoeBlock",
+    "convert_moe_to_ep",
+    "convert_moe_to_gathered",
+]
 
 
 def _maybe_deq(x):
@@ -85,8 +90,10 @@ class _StackedProj(nnx.Module):
     reconstruct a per-expert weight view inside the dispatch shard.
     """
 
-    def __init__(self, weights: Sequence[object], mesh: Mesh, ep_axis: str):
+    def __init__(self, weights: Sequence[object], mesh: Optional[Mesh], ep_axis: Optional[str]):
         def put(stacked):
+            if mesh is None:  # single-device gathered dispatch: no sharding
+                return stacked
             spec = P(ep_axis, *([None] * (stacked.ndim - 1)))
             return jax.device_put(stacked, NamedSharding(mesh, spec))
 
@@ -256,17 +263,80 @@ class EPSparseMoeBlock(nnx.Module):
         return out
 
 
-def convert_moe_to_ep(
-    model,
-    mesh: Mesh,
-    *,
-    ep_axis: str = "ep",
-    capacity_factor: Optional[float] = 2.0,
-) -> int:
-    """Replace every dense-mask sparse MoE block in `model` with an
-    `EPSparseMoeBlock` sharded over `mesh[ep_axis]`. Returns the number of
-    blocks converted. Apply AFTER quantize/freeze/load; re-apply sharding
-    rules for the non-MoE weights separately (`shard_model`)."""
+class GatheredSparseMoeBlock(nnx.Module):
+    """Single-device capacity-gather MoE dispatch.
+
+    The dense-mask blocks run EVERY expert on ALL S tokens (E*S token-MLPs);
+    at prefill that is E/top_k x the useful FLOPs and the MXU is the
+    bottleneck. This block gathers, per expert, the top-`capacity` tokens by
+    routing weight (static shapes: `lax.top_k` + `take`), runs the expert
+    MLP on just those, and scatter-adds — E*capacity ~= cf*top_k*S token-MLPs,
+    an E/(cf*top_k) prefill FLOP reduction with identical weights-streaming
+    cost at decode. With ``capacity_factor=None`` it is exact vs dense-mask;
+    with a finite factor, overflow tokens are dropped (standard capacity
+    semantics). Same stacked-weight layout as `EPSparseMoeBlock`, minus the
+    mesh/shard_map.
+    """
+
+    def __init__(self, block, *, capacity_factor: Optional[float] = 2.0):
+        experts = list(block.experts)
+        self.capacity_factor = capacity_factor
+        self.num_experts = len(experts)
+        self.top_k = block.top_k
+        self.norm_topk_prob = getattr(block, "norm_topk_prob", True)
+        self.gate = block.gate
+        self.shared_expert = getattr(block, "shared_expert", None)
+        self.shared_expert_gate = getattr(block, "shared_expert_gate", None)
+
+        names = ("w1", "w3", "w2") if hasattr(experts[0], "w1") else (
+            "gate_proj", "up_proj", "down_proj")
+        self.proj_gate = _StackedProj([_expert_weight(getattr(e, names[0])) for e in experts], None, None)
+        self.proj_up = _StackedProj([_expert_weight(getattr(e, names[1])) for e in experts], None, None)
+        self.proj_down = _StackedProj([_expert_weight(getattr(e, names[2])) for e in experts], None, None)
+
+    _capacity = EPSparseMoeBlock._capacity
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H = x.shape
+        S = B * T
+        E = self.num_experts
+        cap = self._capacity(S)
+
+        logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, self.top_k)
+        if self.norm_topk_prob:
+            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        mask = jnp.sum(
+            jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+            axis=-2,
+        )  # [B, T, E]
+
+        xf = x.reshape(S, H)
+        maskf = mask.reshape(S, E)
+        projs = (self.proj_gate, self.proj_up, self.proj_down)
+        g_leaves, u_leaves, d_leaves = (p.leaves() for p in projs)
+
+        acc = jnp.zeros((S, H), jnp.float32)
+        for j in range(E):
+            w_col = maskf[:, j]
+            top_v, idx = jax.lax.top_k(w_col, cap)
+            xg = jnp.take(xf, idx, axis=0)
+            h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
+            y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
+            acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
+        out = acc.astype(x.dtype).reshape(B, T, H)
+
+        if self.shared_expert is not None:
+            shared = _maybe_deq(self.shared_expert(x))
+            gate = jax.nn.sigmoid(
+                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
+            )
+            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+
+def _convert_moe(model, make_block) -> int:
     from ..models.mixtral import MixtralSparseMoeBlock
     from ..models.qwen2_moe import Qwen2MoeSparseBlock
 
@@ -282,12 +352,38 @@ def convert_moe_to_ep(
         for p in path[:-1]:
             parent = parent[p] if isinstance(p, int) else getattr(parent, p)
         attr = path[-1]
-        ep_block = EPSparseMoeBlock(
-            node, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
-        )
+        new_block = make_block(node)
         if isinstance(attr, int):
-            parent[attr] = ep_block
+            parent[attr] = new_block
         else:
-            setattr(parent, attr, ep_block)
+            setattr(parent, attr, new_block)
         converted += 1
     return converted
+
+
+def convert_moe_to_gathered(model, *, capacity_factor: Optional[float] = 2.0) -> int:
+    """Replace every dense-mask sparse MoE block with a single-device
+    `GatheredSparseMoeBlock` (capacity-gather dispatch — the prefill FLOP
+    fix). Apply AFTER quantize/freeze/load, like `convert_moe_to_ep`."""
+    return _convert_moe(
+        model, lambda b: GatheredSparseMoeBlock(b, capacity_factor=capacity_factor)
+    )
+
+
+def convert_moe_to_ep(
+    model,
+    mesh: Mesh,
+    *,
+    ep_axis: str = "ep",
+    capacity_factor: Optional[float] = 2.0,
+) -> int:
+    """Replace every dense-mask sparse MoE block in `model` with an
+    `EPSparseMoeBlock` sharded over `mesh[ep_axis]`. Returns the number of
+    blocks converted. Apply AFTER quantize/freeze/load; re-apply sharding
+    rules for the non-MoE weights separately (`shard_model`)."""
+    return _convert_moe(
+        model,
+        lambda b: EPSparseMoeBlock(
+            b, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
+        ),
+    )
