@@ -22,6 +22,13 @@ def log(msg):
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", default=None,
+                   help="comma list of quant configs to run (int8,w8a8,int4,w4a8); "
+                   "default all. The bf16 depth-fit always runs.")
+    args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import quanto_tpu as qt
@@ -68,10 +75,13 @@ def main():
     from quanto_tpu.ops import config as ops_config
 
     cfg = config_8b(32)
+    only = set(args.only.split(",")) if args.only else None
     for tag, kw in [("int8", dict(weights="qint8", exclude="lm_head")),
                     ("w8a8", dict(weights="qint8", activations="qint8", exclude="lm_head")),
                     ("int4", dict(weights="qint4", exclude="lm_head")),
                     ("w4a8", dict(weights="qint4", activations="qint8", exclude="lm_head"))]:
+        if only is not None and tag not in only:
+            continue
         log(f"building 8B {tag} on host...")
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
