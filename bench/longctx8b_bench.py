@@ -52,27 +52,37 @@ def main():
     graphdef, state = nnx.split(model)
     B, new = 4, 32
 
-    def run(ctx, kv_quant):
-        decode = make_decode_fn(graphdef, new)
-        cache = init_kv_cache(cfg, B, ctx, kv_quant=kv_quant)
-        tok = jnp.zeros((B, 1), jnp.int32)
-        pos0 = ctx - new - 1
-        toks, _ = decode(state, tok, cache, pos0)
-        float(jax.device_get(jnp.sum(toks)))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
+    def run(ctx, kv_quant, bf16_softmax=False):
+        ops_config.set_backend(bf16_softmax=bf16_softmax or None)
+        try:
+            decode = make_decode_fn(graphdef, new)
+            cache = init_kv_cache(cfg, B, ctx, kv_quant=kv_quant)
+            tok = jnp.zeros((B, 1), jnp.int32)
+            pos0 = ctx - new - 1
             toks, _ = decode(state, tok, cache, pos0)
             float(jax.device_get(jnp.sum(toks)))
-            best = min(best, time.time() - t0)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                toks, _ = decode(state, tok, cache, pos0)
+                float(jax.device_get(jnp.sum(toks)))
+                best = min(best, time.time() - t0)
+        finally:
+            ops_config.set_backend()
         ms = best * 1e3 / new
-        log(f"B={B} ctx={ctx} kv={kv_quant or 'bf16'}: {ms:.2f} ms/step, "
+        sm = " bf16-softmax" if bf16_softmax else ""
+        log(f"B={B} ctx={ctx} kv={kv_quant or 'bf16'}{sm}: {ms:.2f} ms/step, "
             f"{B*new/best:.0f} tok/s")
         return ms
 
     short = run(512, "qint8")
     for kv in (None, "qint8", "qint4"):
         long_ms = run(8192, kv)
+        log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
+    # bf16 softmax chain arms (the residual long-ctx marginal is the f32
+    # logits/softmax elementwise traffic — RESULTS.md round-3 attention).
+    for kv in ("qint8", "qint4"):
+        long_ms = run(8192, kv, bf16_softmax=True)
         log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
 
 

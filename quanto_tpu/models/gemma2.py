@@ -140,20 +140,16 @@ class Gemma2Attention(nnx.Module):
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
 
         # Grouped-query 5D einsum (no KV materialization), as in llama.py.
+        # HF order: scale -> softcap -> mask (modeling_gemma2.py
+        # eager_attention_forward) — gqa_attention applies that order.
+        from ..ops.attention import gqa_attention
+
         groups = self.num_heads // self.num_kv_heads
         q5 = q.reshape(B, T, self.num_kv_heads, groups, self.head_dim)
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        logits = logits * self.scaling
-        # HF order: scale -> softcap -> mask (modeling_gemma2.py eager_attention_forward).
-        logits = _softcap(logits, self.softcap)
-        logits = logits + mask[:, :, None]
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, T, self.num_heads * self.head_dim)
+        out = gqa_attention(
+            q5, k, v, mask, self.scaling,
+            k_scale=k_scale, v_scale=v_scale, softcap=self.softcap,
+        )
         return _maybe_deq(self.o_proj(out)), new_cache
 
 

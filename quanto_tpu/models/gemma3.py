@@ -124,17 +124,13 @@ class Gemma3Attention(nnx.Module):
             new_cache = kv_update(layer_cache, k, v, cache_pos)
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
 
+        from ..ops.attention import gqa_attention
+
         groups = self.num_heads // self.num_kv_heads
         q5 = q.reshape(B, T, self.num_kv_heads, groups, self.head_dim)
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        logits = logits * self.scaling + mask[:, :, None]
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, T, self.num_heads * self.head_dim)
+        out = gqa_attention(
+            q5, k, v, mask, self.scaling, k_scale=k_scale, v_scale=v_scale
+        )
         return _maybe_deq(self.o_proj(out)), new_cache
 
 

@@ -327,31 +327,17 @@ class LlamaAttention(nnx.Module):
                     return out, new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
 
-        # Grouped-query attention WITHOUT materializing repeated KV: fold the
-        # query-head groups into a 5D einsum over shared kv heads. (A
-        # jnp.repeat here would gather a full q-head-sized copy of the cache
-        # every decode step — measured 4x the step time at batch 8 / ctx 2k.)
-        groups = self.num_heads // self.num_kv_heads
-        Hkv = self.num_kv_heads
-        q5 = q.reshape(B, T, Hkv, groups, self.head_dim)
+        # Shared grouped-query 5D einsum attention (`ops/attention.gqa_attention`):
+        # no repeated-KV materialization, per-slot cache scales factored out
+        # of the contractions, optional bf16 softmax chain.
+        from ..ops.attention import gqa_attention
 
-        # [B, Hkv, G, Tq, Tk] logits on the MXU; accumulate in f32. For
-        # quantized caches the per-slot scales factor out of the
-        # contractions: applied to the logits (k) and to the probabilities
-        # (v), so the int8 payload feeds the einsum directly.
-        scale = self.head_dim ** -0.5
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            # [B, S, Hkv, 1] -> [B, Hkv, 1, 1, S]
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        # mask is [B or 1, 1, T, S]; add a group axis for the 5D logits.
-        logits = logits * scale + mask[:, :, None]
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
-        out = out.reshape(B, T, self.num_heads * self.head_dim)
+        groups = self.num_heads // self.num_kv_heads
+        q5 = q.reshape(B, T, self.num_kv_heads, groups, self.head_dim)
+        out = gqa_attention(
+            q5, k, v, mask, self.head_dim ** -0.5,
+            k_scale=k_scale, v_scale=v_scale,
+        )
         out = self.o_proj(out)
         if isinstance(out, QArray):
             out = out.dequantize()

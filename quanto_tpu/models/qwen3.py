@@ -152,17 +152,10 @@ class Qwen3Attention(nnx.Module):
             new_cache = kv_update(layer_cache, k, v, cache_pos)
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
 
-        groups = H // Hkv
-        q5 = q.reshape(B, T, Hkv, groups, D)
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        logits = logits * (D**-0.5) + mask[:, :, None]
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v).reshape(B, T, H * D)
+        from ..ops.attention import gqa_attention
+
+        q5 = q.reshape(B, T, Hkv, H // Hkv, D)
+        out = gqa_attention(q5, k, v, mask, D**-0.5, k_scale=k_scale, v_scale=v_scale)
         return _maybe_deq(self.o_proj(out)), new_cache
 
 

@@ -12,12 +12,86 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from . import config as ops_config
 
 
-__all__ = ["try_flash_decode"]
+__all__ = ["try_flash_decode", "gqa_attention"]
+
+
+def _slot_scale_t(s, dtype):
+    """Per-slot KV-cache scale [B, S, Hkv, 1] -> [B, Hkv, 1, 1, S] broadcast
+    for the grouped 5D logits/probs."""
+    return jnp.transpose(s[..., 0], (0, 2, 1))[:, :, None, None, :].astype(dtype)
+
+
+def gqa_attention(
+    q5: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,
+    scale: float,
+    *,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    softcap: Optional[float] = None,
+    alibi: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Grouped-query attention WITHOUT materializing repeated KV: the
+    query-head groups fold into a 5D einsum over shared kv heads (a
+    jnp.repeat would gather a full q-head-sized copy of the cache every
+    decode step — measured 4x the step time at batch 8 / ctx 2k).
+
+    q5 [B, T, Hkv, G, D]; k/v [B, S, Hkv, D] (possibly int8/s4 cache
+    payloads — the dequant convert fuses into the einsum operand read);
+    mask [B or 1, 1, T, S] additive; per-slot cache scales factor out of the
+    contractions: k_scale applies to the logits, v_scale to the
+    probabilities. Transform order matches HF eager attention:
+    (+alibi) -> *scale -> softcap -> +mask.
+
+    Returns [B, T, Hkv*G*D] in q5.dtype.
+
+    Two softmax chains:
+    - f32 (default): logits/probs stay f32 end-to-end, `jax.nn.softmax`.
+    - bf16 (`ops/config.use_bf16_softmax()`): the [B, Hkv, G, T, S]
+      intermediates round to bf16 at the QK-einsum epilogue and the whole
+      elementwise chain runs at half the HBM traffic; reductions that need
+      exactness stay f32 (max is exact in bf16; the normalizer accumulates
+      f32) and normalization is DEFERRED past the PV einsum (divides the
+      [.., D] output instead of the [.., S] probabilities — one fewer
+      full-S pass, mathematically identical).
+    """
+    B, T, Hkv, G, D = q5.shape
+    out_dtype = q5.dtype
+    bf16_chain = out_dtype == jnp.bfloat16 and ops_config.use_bf16_softmax()
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32)
+    if bf16_chain:
+        logits = logits.astype(jnp.bfloat16)  # fuses into the einsum epilogue
+    if k_scale is not None:
+        logits = logits * _slot_scale_t(k_scale, logits.dtype)
+    if alibi is not None:
+        logits = logits + alibi.reshape(B, Hkv, G, 1, -1).astype(logits.dtype)
+    logits = logits * jnp.asarray(scale, logits.dtype)
+    if softcap is not None:
+        logits = jnp.tanh(logits / softcap) * softcap
+    logits = logits + mask[:, :, None].astype(logits.dtype)
+    if bf16_chain:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        if v_scale is not None:
+            e = e * _slot_scale_t(v_scale, e.dtype)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", e, v, preferred_element_type=jnp.float32)
+        out = (out / jnp.transpose(s, (0, 3, 1, 2, 4))).astype(out_dtype)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        if v_scale is not None:
+            probs = probs * _slot_scale_t(v_scale, probs.dtype)
+        probs = probs.astype(out_dtype)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(B, T, Hkv * G * D)
 
 # Bench/tuning knob: "v2" (full-row tile-aligned blocks), "v3" (multi-batch
 # grid steps + online-softmax S chunks; knobs _V3_BB/_V3_SB), "v1" (round-1

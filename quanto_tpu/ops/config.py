@@ -18,6 +18,7 @@ _STATE = {
     "pallas_qbytes": None,
     "flash_decode": None,
     "fp8_dot": None,
+    "bf16_softmax": None,
 }
 
 
@@ -67,12 +68,15 @@ def set_backend(
     pallas_qbytes: bool | None = None,
     flash_decode: bool | None = None,
     fp8_dot: bool | None = None,
+    bf16_softmax: bool | None = None,
 ) -> None:
-    """Force Pallas kernels / fp8-dot on/off (None restores auto-detection)."""
+    """Force Pallas kernels / fp8-dot / bf16 attention softmax on/off
+    (None restores auto-detection)."""
     _STATE["pallas_qbits"] = pallas_qbits
     _STATE["pallas_qbytes"] = pallas_qbytes
     _STATE["flash_decode"] = flash_decode
     _STATE["fp8_dot"] = fp8_dot
+    _STATE["bf16_softmax"] = bf16_softmax
 
 
 def use_pallas_qbits() -> bool:
@@ -108,6 +112,23 @@ def use_flash_decode() -> bool:
         return _STATE["flash_decode"]
     if os.environ.get("QUANTO_TPU_FLASH_DECODE", "").lower() in ("1", "true", "yes", "on"):
         return _on_tpu() and _single_device_ok()
+    return False
+
+
+def use_bf16_softmax() -> bool:
+    """bf16 attention logits/softmax chain with f32 reductions
+    (`ops/attention.gqa_attention`): halves the elementwise HBM traffic of
+    the [B, Hkv, G, T, S] logits intermediates that dominate long-context
+    decode (RESULTS.md "quantized decode attention": the residual attention
+    marginal at 8B ctx 8192 is the f32 softmax chain, not the cache read).
+    Opt-in via `set_backend(bf16_softmax=True)` / QUANTO_TPU_BF16_SOFTMAX=1;
+    numerics gated by tests/models/test_kv_cache.py fidelity assertions.
+    """
+    if _STATE["bf16_softmax"] is not None:
+        return _STATE["bf16_softmax"]
+    env = os.environ.get("QUANTO_TPU_BF16_SOFTMAX")
+    if env is not None:
+        return env.lower() in ("1", "true", "yes", "on")
     return False
 
 
