@@ -28,6 +28,9 @@ def main():
     p.add_argument("--only", default=None,
                    help="comma list of quant configs to run (int8,w8a8,int4,w4a8); "
                    "default all. The bf16 depth-fit always runs.")
+    p.add_argument("--bf16-softmax", action="store_true",
+                   help="also measure each selected config with the bf16 "
+                   "attention softmax chain (halves the [T,S] logits traffic)")
     args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -103,6 +106,13 @@ def main():
                     node.set_value(jax.device_put(v, dev))
         t = measure(model, cfg, tag)
         log(f"{tag}: {t32/t:.2f}x of bf16 depth-fit")
+        if args.bf16_softmax:
+            ops_config.set_backend(bf16_softmax=True)
+            try:
+                t = measure(model, cfg, tag + "+bf16sm")
+            finally:
+                ops_config.set_backend()
+            log(f"{tag}+bf16sm: {t32/t:.2f}x of bf16 depth-fit")
         del model
 
 

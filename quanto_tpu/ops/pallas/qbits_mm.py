@@ -345,12 +345,32 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, int
     # TF/s at M=1024), bkp=1024 at larger M (89.3 vs 78.4 at M=2048).
     # K tiles must not straddle block-local K blocks: bkp | Kpacked/k_shards.
     kp_b = Kpacked // k_shards
+    bm = 256
+    G = scale_t.shape[0]
+
+    def vmem_est(bn_c, bkp_c):
+        # Double-buffered input blocks + the output accumulator. Budget is
+        # conservative vs the 16 MB scoped limit (K=8192 shapes picked
+        # bkp=2048 x bn=1024 before this gate and hit a 19 MB stack OOM in
+        # the Mosaic compile — e.g. the gathered-MoE down_proj).
+        x_b = vals * bm * bkp_c * x2.dtype.itemsize
+        w_b = bn_c * bkp_c * packed.dtype.itemsize
+        s_b = 2 * G * bn_c * 4
+        return 2 * (x_b + w_b + s_b) + bm * bn_c * 4
+
     bkp_cands = (2048, 1024, 512, 256, 128) if M <= 1024 else (1024, 512, 256, 128)
-    bkp = next((c for c in bkp_cands if kp_b % c == 0), None)
-    bn = next((c for c in (1024, 512, 256, 128) if N % c == 0), None)
+    bkp = bn = None
+    for bkp_c in bkp_cands:
+        if kp_b % bkp_c:
+            continue
+        for bn_c in (1024, 512, 256, 128):
+            if N % bn_c == 0 and vmem_est(bn_c, bkp_c) <= 12 * 1024 * 1024:
+                bkp, bn = bkp_c, bn_c
+                break
+        if bkp is not None:
+            break
     if bkp is None or bn is None:
         return None
-    bm = 256
     m_pad = -M % bm
     if m_pad:
         x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))

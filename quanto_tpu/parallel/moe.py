@@ -238,6 +238,16 @@ class EPSparseMoeBlock(nnx.Module):
             acc = jnp.zeros((S, H), jnp.float32)
             for j in range(local_e):
                 w_col = maskf[:, j]  # local expert j's routing weights
+                if cap >= S:
+                    # Capacity covers every token (decode/small batches after
+                    # sublane rounding): gather/scatter is pure overhead
+                    # (measured 2.6x the dense-mask step at B=8 decode,
+                    # bench/moe_bench.py) — run the expert on all tokens,
+                    # zero-weighted where unrouted. Exact.
+                    h = jax.nn.silu(projs[0].apply(xf, g_leaves, j)) * projs[1].apply(xf, u_leaves, j)
+                    y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
+                    acc = acc + w_col[:, None] * y.astype(jnp.float32)
+                    continue
                 top_v, idx = jax.lax.top_k(w_col, cap)
                 xg = jnp.take(xf, idx, axis=0)
                 h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
@@ -320,6 +330,15 @@ class GatheredSparseMoeBlock(nnx.Module):
         acc = jnp.zeros((S, H), jnp.float32)
         for j in range(E):
             w_col = maskf[:, j]
+            if cap >= S:
+                # Decode/small-batch: capacity covers every token after
+                # sublane rounding, so the gather/scatter machinery is pure
+                # overhead (measured 2.6x the dense-mask step at B=8 decode,
+                # bench/moe_bench.py). Dense-mask math is exact here.
+                h = jax.nn.silu(projs[0].apply(xf, g_leaves, j)) * projs[1].apply(xf, u_leaves, j)
+                y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
+                acc = acc + w_col[:, None] * y.astype(jnp.float32)
+                continue
             top_v, idx = jax.lax.top_k(w_col, cap)
             xg = jnp.take(xf, idx, axis=0)
             h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
