@@ -284,25 +284,28 @@ class GatheredSparseMoeBlock(nnx.Module):
     an E/(cf*top_k) prefill FLOP reduction with identical weights-streaming
     cost at decode. With ``capacity_factor=None`` it is exact vs dense-mask;
     with a finite factor, overflow tokens are dropped (standard capacity
-    semantics). Same stacked-weight layout as `EPSparseMoeBlock`, minus the
-    mesh/shard_map.
+    semantics).
+
+    Keeps the ORIGINAL expert modules (quantized/frozen QLinears) and calls
+    them directly: a stacked-weight layout here would force XLA to
+    materialize each expert's `data[j]` slice as a separate buffer before
+    every Pallas call — an HBM->HBM copy of the full expert weights per step
+    that measured 2.5x the dense-mask decode time (bench/moe_bench.py).
+    Stacking is only for `EPSparseMoeBlock`, which needs one leaf to shard
+    over the "ep" axis. When token counts are small enough that capacity
+    covers every token (decode), the gather/scatter machinery is skipped
+    entirely and the dense-mask math runs (exact, zero overhead).
     """
 
     def __init__(self, block, *, capacity_factor: Optional[float] = 2.0):
-        experts = list(block.experts)
         self.capacity_factor = capacity_factor
-        self.num_experts = len(experts)
+        self.num_experts = len(block.experts)
         self.top_k = block.top_k
         self.norm_topk_prob = getattr(block, "norm_topk_prob", True)
         self.gate = block.gate
+        self.experts = block.experts
         self.shared_expert = getattr(block, "shared_expert", None)
         self.shared_expert_gate = getattr(block, "shared_expert_gate", None)
-
-        names = ("w1", "w3", "w2") if hasattr(experts[0], "w1") else (
-            "gate_proj", "up_proj", "down_proj")
-        self.proj_gate = _StackedProj([_expert_weight(getattr(e, names[0])) for e in experts], None, None)
-        self.proj_up = _StackedProj([_expert_weight(getattr(e, names[1])) for e in experts], None, None)
-        self.proj_down = _StackedProj([_expert_weight(getattr(e, names[2])) for e in experts], None, None)
 
     _capacity = EPSparseMoeBlock._capacity
 
@@ -322,29 +325,22 @@ class GatheredSparseMoeBlock(nnx.Module):
             axis=-2,
         )  # [B, T, E]
 
-        xf = x.reshape(S, H)
-        maskf = mask.reshape(S, E)
-        projs = (self.proj_gate, self.proj_up, self.proj_down)
-        g_leaves, u_leaves, d_leaves = (p.leaves() for p in projs)
-
-        acc = jnp.zeros((S, H), jnp.float32)
-        for j in range(E):
-            w_col = maskf[:, j]
-            if cap >= S:
-                # Decode/small-batch: capacity covers every token after
-                # sublane rounding, so the gather/scatter machinery is pure
-                # overhead (measured 2.6x the dense-mask step at B=8 decode,
-                # bench/moe_bench.py). Dense-mask math is exact here.
-                h = jax.nn.silu(projs[0].apply(xf, g_leaves, j)) * projs[1].apply(xf, u_leaves, j)
-                y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
-                acc = acc + w_col[:, None] * y.astype(jnp.float32)
-                continue
-            top_v, idx = jax.lax.top_k(w_col, cap)
-            xg = jnp.take(xf, idx, axis=0)
-            h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
-            y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
-            acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
-        out = acc.astype(x.dtype).reshape(B, T, H)
+        if cap >= S:
+            # Decode/small-batch: capacity covers every token after sublane
+            # rounding — dense-mask math, no gather/scatter.
+            out = jnp.zeros_like(x)
+            for e, expert in enumerate(self.experts):
+                out = out + (mask[..., e : e + 1] * expert(x).astype(jnp.float32)).astype(x.dtype)
+        else:
+            xf = x.reshape(S, H)
+            maskf = mask.reshape(S, E)
+            acc = jnp.zeros((S, H), jnp.float32)
+            for j, expert in enumerate(self.experts):
+                top_v, idx = jax.lax.top_k(maskf[:, j], cap)
+                xg = jnp.take(xf, idx, axis=0)
+                y = expert(xg)
+                acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
+            out = acc.astype(x.dtype).reshape(B, T, H)
 
         if self.shared_expert is not None:
             shared = _maybe_deq(self.shared_expert(x))

@@ -48,7 +48,12 @@ def test_gathered_block_exact_match_quantized_int8():
     qt.freeze(block)
     ref = block(x)
     g = GatheredSparseMoeBlock(block, capacity_factor=None)
-    assert g.proj_gate.kind == "qbytes"
+    # The gathered block keeps the ORIGINAL frozen expert modules (no
+    # stacked copies — stacking forced an HBM->HBM weight copy per call).
+    from quanto_tpu.tensor.qarray import QArray
+
+    assert g.experts is block.experts
+    assert isinstance(g.experts[0].w1.weight.get_value(), QArray)
     np.testing.assert_allclose(np.asarray(g(x)), np.asarray(ref), atol=2e-5)
 
 
