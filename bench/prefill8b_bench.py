@@ -106,6 +106,15 @@ def main():
                     node.set_value(jax.device_put(v, dev))
         t = measure(model, cfg, tag)
         log(f"{tag}: {t32/t:.2f}x of bf16 depth-fit")
+        if tag == "w4a8":
+            # same-session A/B of the requant-dot route vs the exact
+            # K-chunked prefill kernel (ops/config.use_w4a8_requant_dot)
+            ops_config.set_backend(w4a8_requant_dot=False)
+            try:
+                t = measure(model, cfg, tag + "+exact-kernel")
+            finally:
+                ops_config.set_backend()
+            log(f"{tag}+exact-kernel: {t32/t:.2f}x of bf16 depth-fit")
         if args.bf16_softmax:
             ops_config.set_backend(bf16_softmax=True)
             try:

@@ -19,6 +19,7 @@ _STATE = {
     "flash_decode": None,
     "fp8_dot": None,
     "bf16_softmax": None,
+    "w4a8_requant_dot": None,
 }
 
 
@@ -69,14 +70,16 @@ def set_backend(
     flash_decode: bool | None = None,
     fp8_dot: bool | None = None,
     bf16_softmax: bool | None = None,
+    w4a8_requant_dot: bool | None = None,
 ) -> None:
-    """Force Pallas kernels / fp8-dot / bf16 attention softmax on/off
-    (None restores auto-detection)."""
+    """Force Pallas kernels / fp8-dot / bf16 attention softmax / W4A8
+    requant-dot prefill on/off (None restores auto-detection)."""
     _STATE["pallas_qbits"] = pallas_qbits
     _STATE["pallas_qbytes"] = pallas_qbytes
     _STATE["flash_decode"] = flash_decode
     _STATE["fp8_dot"] = fp8_dot
     _STATE["bf16_softmax"] = bf16_softmax
+    _STATE["w4a8_requant_dot"] = w4a8_requant_dot
 
 
 def use_pallas_qbits() -> bool:
@@ -130,6 +133,25 @@ def use_bf16_softmax() -> bool:
     if env is not None:
         return env.lower() in ("1", "true", "yes", "on")
     return False
+
+
+def use_w4a8_requant_dot() -> bool:
+    """W4A8 prompt-length matmuls via per-channel int8 re-quantization of the
+    group-wise sub-byte weights + one full-K int8xint8 MXU dot
+    (`ops/pallas/qbits_mm._int8_requant_dot`). Rides the measured 1.27-1.44x
+    integer systolic rate at M>=2048 (RESULTS.md "isolated int8 MXU rate")
+    that the K-chunked Pallas prefill kernel cannot reach because of its
+    per-group f32 rescale epilogue. Adds a small per-channel int8
+    re-quantization error on top of the int4 error (fidelity-gated in
+    tests/ops/test_pallas_kernels.py); QUANTO_TPU_W4A8_REQUANT=0 or
+    `set_backend(w4a8_requant_dot=False)` restores the exact kernel path.
+    """
+    if _STATE["w4a8_requant_dot"] is not None:
+        return _STATE["w4a8_requant_dot"]
+    env = os.environ.get("QUANTO_TPU_W4A8_REQUANT")
+    if env is not None:
+        return env.lower() in ("1", "true", "yes", "on")
+    return True
 
 
 def pallas_interpret() -> bool:

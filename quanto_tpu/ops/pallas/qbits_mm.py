@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
+
 
 __all__ = [
     "qbits_matmul_kernel_call",
@@ -383,6 +385,45 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, int
     return out[:M] if m_pad else out
 
 
+# int8-dot crossover: the isolated MXU rate A/B (bench/int8_mxu_rate_bench.py)
+# measures int8xint8 at 1.05x bf16 at M=1024 but 1.27x at M=2048 / 1.44x at
+# M=4096; below 2048 the requant pass overhead (~3 weight-size HBM passes)
+# eats the margin, so the K-chunked Pallas kernel keeps those shapes.
+_INT8_DOT_MIN_M = 2048
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "gs", "K", "k_shards"))
+def _int8_requant_dot(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1):
+    """W4A8 prompt-shaped matmul: re-quantize the group-wise sub-byte weights
+    to per-channel int8 in-jit (XLA fuses unpack -> dequant -> requant into
+    one pass over the weights), then run ONE full-K int8xint8 `dot_general`
+    with i32 accumulation — the same route that makes W8A8 prefill 1.30x
+    bf16 (RESULTS.md). The float-shift is folded into the int8 codes, so no
+    x-sum correction term is needed; the epilogue is a single per-channel
+    f32 rescale. Costs ~2 extra weight-size HBM passes (int8 write + read)
+    and adds a per-channel int8 re-quantization error on top of the int4
+    error (the int8 step is ~8x finer than the coarsest group's int4 step,
+    so the added error power is a few percent — gated by the fidelity
+    tests)."""
+    N = packed.shape[0]
+    G = scale_t.shape[0]
+    codes = unpack_split_half(packed, bits, K, k_shards)  # [N, K] uint8
+    s = scale_t.astype(jnp.float32).T  # [N, G]
+    z = shift_t.astype(jnp.float32).T
+    qmax = float(2**bits - 1)
+    amax = jnp.max(jnp.maximum(jnp.abs(z), jnp.abs(s * qmax - z)), axis=1)  # [N]
+    s8 = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    wf = codes.reshape(N, G, gs).astype(jnp.float32) * s[:, :, None] - z[:, :, None]
+    c8 = jnp.clip(jnp.round(wf / s8[:, None, None]), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x2,
+        c8.reshape(N, K),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * s8[None, :]
+
+
 def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
     """W4A8: int8 activations x int4 codes on the integer MXU.
 
@@ -501,6 +542,15 @@ def qbits_int8_matmul_kernel_call(
     for d in lead:
         M *= d
     if M > _MAX_M:
+        if M >= _INT8_DOT_MIN_M and gs != K and config.use_w4a8_requant_dot():
+            # Long prompts: per-channel int8 requant + one big int8 MXU dot
+            # (see _int8_requant_dot) — 1.27-1.44x the bf16 rate at M>=2048.
+            out = _int8_requant_dot(
+                x_data.reshape(M, K), packed, scale_t, shift_t,
+                bits=bits, gs=gs, K=K, k_shards=k_shards,
+            )
+            out = out * jnp.asarray(x_scale, jnp.float32).reshape(())
+            return out.reshape(*lead, N).astype(float_dtype)
         # W4A8 prefill: same tiled kernel, int8 x int4 on the integer MXU.
         out = _prefill_route(
             x_data.reshape(M, K), packed, scale_t, shift_t,

@@ -380,3 +380,50 @@ def test_w4a8_kernel_block_local():
         assert out is not None
         ref = qx.dequantize() @ qw.dequantize().T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("k_shards", [1, 2])
+def test_w4a8_requant_dot_route(k_shards):
+    """At M>=2048, W4A8 routes through the per-channel int8 requant + one
+    big int8 MXU dot (ops/config.use_w4a8_requant_dot). The requant adds a
+    bounded per-channel int8 error on top of the int4 error; with the flag
+    off, the exact K-chunked kernel path is restored."""
+    from quanto_tpu.ops.pallas.qbits_mm import qbits_int8_matmul_kernel_call
+    from quanto_tpu.tensor.optimizers import MaxOptimizer
+    from quanto_tpu.tensor.qtype import qint4, qint8
+    from quanto_tpu.tensor.weights import quantize_weight
+    from quanto_tpu.tensor.activations import quantize_activation
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(256, 512), jnp.float32)
+    x = jnp.asarray(rng.randn(2048, 512), jnp.float32)
+    scale, shift = MaxOptimizer()(w, qint4, axis=0, group_size=128)
+    qw = quantize_weight(w, qint4, 0, scale, shift=shift, group_size=128)
+    tpu = WeightQBitsTpuArray.from_generic(qw, k_shards=k_shards)
+    qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
+    ref = np.asarray(qx.dequantize() @ qw.dequantize().T)
+
+    ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=True)
+    out = qbits_int8_matmul_kernel_call(
+        qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
+        4, 128, jnp.float32, k_shards=k_shards, interpret=True,
+    )
+    assert out is not None
+    out = np.asarray(out)
+    # cosine vs the exact-dequant oracle: the int8 requant step is ~8x finer
+    # than the coarsest group's int4 step, so correlation stays ~1.
+    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+    assert cos > 0.9995, cos
+    # and per-element error bounded by the int8 step propagated through K
+    err = np.abs(out - ref).max()
+    amax = np.abs(np.asarray(qw.dequantize())).max()
+    assert err < amax / 127.0 * np.abs(np.asarray(qx.dequantize())).sum(1).max() * 0.1
+
+    # Flag off: exact kernel path (tight match as in the prefill oracle test).
+    ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=False)
+    exact = qbits_int8_matmul_kernel_call(
+        qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
+        4, 128, jnp.float32, k_shards=k_shards, interpret=True,
+    )
+    assert exact is not None
+    np.testing.assert_allclose(np.asarray(exact), ref, rtol=5e-4, atol=1e-4)
