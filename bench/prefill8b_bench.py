@@ -51,29 +51,43 @@ def main():
 
     ids = jnp.asarray(np.random.RandomState(0).randint(0, 128256, (1, T)), jnp.int32)
 
-    def measure(model, cfg, tag):
+    from quanto_tpu.ops import config as _cfg
+
+    def measure(model, cfg, tag, flash=False, **backend):
         graphdef, state = nnx.split(model)
         prefill = make_prefill_fn(graphdef)
         cache = init_kv_cache(cfg, 1, T + 8, cfg.dtype)
-        t0 = time.time()
-        logits, _ = prefill(state, ids, cache, 0)
-        float(jax.device_get(jnp.sum(logits[:, -1].astype(jnp.float32))))
-        log(f"{tag}: compile+run {time.time()-t0:.1f}s")
-        best = float("inf")
-        for _ in range(3):
+        _cfg.set_backend(flash_prefill=flash, **backend)
+        try:
+            tag = tag + ("+flash" if flash else "")
             t0 = time.time()
             logits, _ = prefill(state, ids, cache, 0)
             float(jax.device_get(jnp.sum(logits[:, -1].astype(jnp.float32))))
-            best = min(best, time.time() - t0)
+            log(f"{tag}: compile+run {time.time()-t0:.1f}s")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                logits, _ = prefill(state, ids, cache, 0)
+                float(jax.device_get(jnp.sum(logits[:, -1].astype(jnp.float32))))
+                best = min(best, time.time() - t0)
+        finally:
+            _cfg.set_backend()
         tps = T / best
         log(f"{tag}: {best*1e3:.0f} ms for {T} tokens = {tps:.0f} tok/s prefill")
         return best
 
-    # bf16 depth fit
-    t8 = measure(LlamaForCausalLM(config_8b(8), rngs=nnx.Rngs(0)), config_8b(8), "bf16-8L")
-    t16 = measure(LlamaForCausalLM(config_8b(16), rngs=nnx.Rngs(0)), config_8b(16), "bf16-16L")
+    # bf16 depth fit, with and without the fused causal prefill attention
+    m8 = LlamaForCausalLM(config_8b(8), rngs=nnx.Rngs(0))
+    m16 = LlamaForCausalLM(config_8b(16), rngs=nnx.Rngs(0))
+    t8 = measure(m8, config_8b(8), "bf16-8L")
+    t16 = measure(m16, config_8b(16), "bf16-16L")
     t32 = t8 + (t16 - t8) * (32 - 8) / (16 - 8)
     log(f"bf16-32L (depth-fit): {t32*1e3:.0f} ms = {T/t32:.0f} tok/s prefill")
+    t8f = measure(m8, config_8b(8), "bf16-8L", flash=True)
+    t16f = measure(m16, config_8b(16), "bf16-16L", flash=True)
+    t32f = t8f + (t16f - t8f) * (32 - 8) / (16 - 8)
+    log(f"bf16-32L+flash (depth-fit): {t32f*1e3:.0f} ms = {T/t32f:.0f} tok/s prefill")
+    del m8, m16
 
     from quanto_tpu.ops import config as ops_config
 
@@ -106,21 +120,15 @@ def main():
                     node.set_value(jax.device_put(v, dev))
         t = measure(model, cfg, tag)
         log(f"{tag}: {t32/t:.2f}x of bf16 depth-fit")
+        t = measure(model, cfg, tag, flash=True)
+        log(f"{tag}+flash: {t32f/t:.2f}x of bf16+flash depth-fit")
         if tag == "w4a8":
             # same-session A/B of the requant-dot route vs the exact
             # K-chunked prefill kernel (ops/config.use_w4a8_requant_dot)
-            ops_config.set_backend(w4a8_requant_dot=False)
-            try:
-                t = measure(model, cfg, tag + "+exact-kernel")
-            finally:
-                ops_config.set_backend()
+            t = measure(model, cfg, tag + "+exact-kernel", w4a8_requant_dot=False)
             log(f"{tag}+exact-kernel: {t32/t:.2f}x of bf16 depth-fit")
         if args.bf16_softmax:
-            ops_config.set_backend(bf16_softmax=True)
-            try:
-                t = measure(model, cfg, tag + "+bf16sm")
-            finally:
-                ops_config.set_backend()
+            t = measure(model, cfg, tag + "+bf16sm", bf16_softmax=True)
             log(f"{tag}+bf16sm: {t32/t:.2f}x of bf16 depth-fit")
         del model
 

@@ -146,7 +146,7 @@ class FalconAttention(nnx.Module):
         qkv = fused.reshape(B, T, H, 3, D)
         return qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
-    def __call__(self, x, cos, sin, alibi, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, alibi, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         B, T, _ = x.shape
         H, Hkv, D = self.num_heads, self.kv_heads, self.head_dim
         q, k, v = self._split_heads(_maybe_deq(self.query_key_value(x)))
@@ -160,7 +160,19 @@ class FalconAttention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            if causal_ok and alibi is None and T > 1:
+                from ..ops.attention import try_flash_prefill
+
+                out = try_flash_prefill(q, k, v, Hkv, D)
+                if out is not None:
+                    return _maybe_deq(self.dense(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif causal_ok and alibi is None and T > 1:
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(q, k, v, Hkv, D)
+            if out is not None:
+                return _maybe_deq(self.dense(out)), None
 
         # Falcon order: (q·k + alibi) / sqrt(D), then mask — gqa_attention's
         # alibi slot applies exactly that ([B, H, S] alibi reshaped to the
@@ -203,7 +215,7 @@ class FalconDecoderLayer(nnx.Module):
         else:
             self.input_layernorm = ln()
 
-    def __call__(self, x, cos, sin, alibi, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, alibi, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         residual = x
         if self._two_ln:
             attn_in = self.ln_attn(x)
@@ -211,7 +223,7 @@ class FalconDecoderLayer(nnx.Module):
         else:
             attn_in = self.input_layernorm(x)
             mlp_in = attn_in  # parallel single-LN variants
-        attn, new_cache = self.self_attention(attn_in, cos, sin, alibi, mask, layer_cache, cache_pos)
+        attn, new_cache = self.self_attention(attn_in, cos, sin, alibi, mask, layer_cache, cache_pos, causal_ok=causal_ok)
         if not self._new_arch and not self._parallel:
             residual = attn + residual
             mlp_in = self.post_attention_layernorm(residual)
@@ -296,9 +308,12 @@ class FalconForCausalLM(nnx.Module):
             mask = jnp.where(k_pos <= q_pos, 0.0, neg)
 
         new_cache = [] if cache is not None else None
+        from ..ops.attention import static_zero_pos
+
+        causal_ok = static_zero_pos(cache_pos)
         for i, layer in enumerate(self.transformer.h):
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, alibi, mask, layer_cache, cache_pos)
+            x, lc = layer(x, cos, sin, alibi, mask, layer_cache, cache_pos, causal_ok=causal_ok)
             if cache is not None:
                 new_cache.append(lc)
 

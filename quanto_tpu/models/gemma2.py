@@ -123,7 +123,7 @@ class Gemma2Attention(nnx.Module):
         self.v_proj = lin(c.hidden_size, self.num_kv_heads * self.head_dim)
         self.o_proj = lin(self.num_heads * self.head_dim, c.hidden_size)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         B, T, _ = x.shape
         q = _maybe_deq(self.q_proj(x)).reshape(B, T, self.num_heads, self.head_dim)
         k = _maybe_deq(self.k_proj(x)).reshape(B, T, self.num_kv_heads, self.head_dim)
@@ -137,7 +137,25 @@ class Gemma2Attention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            if causal_ok and T > 1:
+                from ..ops.attention import try_flash_prefill
+
+                out = try_flash_prefill(
+                    q, k, v, self.num_kv_heads, self.head_dim,
+                    softcap=self.softcap, scale=self.scaling,
+                )
+                if out is not None:
+                    return _maybe_deq(self.o_proj(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif causal_ok and T > 1:
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(
+                q, k, v, self.num_kv_heads, self.head_dim,
+                softcap=self.softcap, scale=self.scaling,
+            )
+            if out is not None:
+                return _maybe_deq(self.o_proj(out)), None
 
         # Grouped-query 5D einsum (no KV materialization), as in llama.py.
         # HF order: scale -> softcap -> mask (modeling_gemma2.py
@@ -177,8 +195,8 @@ class Gemma2DecoderLayer(nnx.Module):
         self.pre_feedforward_layernorm = norm()
         self.post_feedforward_layernorm = norm()
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
-        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos, causal_ok=causal_ok)
         x = x + self.post_attention_layernorm(h)
         x = x + self.post_feedforward_layernorm(self.mlp(self.pre_feedforward_layernorm(x)))
         return x, new_cache
@@ -244,10 +262,15 @@ class Gemma2ForCausalLM(nnx.Module):
         full_mask, sliding_mask = self._masks(B, T, cache, cache_pos)
 
         new_cache = [] if cache is not None else None
+        from ..ops.attention import static_zero_pos
+
+        causal0 = static_zero_pos(cache_pos)
         for i, layer in enumerate(self.model.layers):
-            mask = sliding_mask if c.layer_types[i] == "sliding_attention" else full_mask
+            sliding = c.layer_types[i] == "sliding_attention"
+            mask = sliding_mask if sliding else full_mask
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            ok = causal0 and (not sliding or c.sliding_window >= T)
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos, causal_ok=ok)
             if cache is not None:
                 new_cache.append(lc)
 

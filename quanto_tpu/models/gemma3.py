@@ -108,7 +108,7 @@ class Gemma3Attention(nnx.Module):
         self.q_norm = RMSNorm(c.head_dim, c.rms_norm_eps, c.dtype, unit_offset=True)
         self.k_norm = RMSNorm(c.head_dim, c.rms_norm_eps, c.dtype, unit_offset=True)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         B, T, _ = x.shape
         q = self.q_norm(_maybe_deq(self.q_proj(x)).reshape(B, T, self.num_heads, self.head_dim))
         k = self.k_norm(_maybe_deq(self.k_proj(x)).reshape(B, T, self.num_kv_heads, self.head_dim))
@@ -122,7 +122,23 @@ class Gemma3Attention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            if causal_ok and T > 1:
+                from ..ops.attention import try_flash_prefill
+
+                out = try_flash_prefill(
+                    q, k, v, self.num_kv_heads, self.head_dim, scale=self.scaling,
+                )
+                if out is not None:
+                    return _maybe_deq(self.o_proj(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif causal_ok and T > 1:
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(
+                q, k, v, self.num_kv_heads, self.head_dim, scale=self.scaling,
+            )
+            if out is not None:
+                return _maybe_deq(self.o_proj(out)), None
 
         from ..ops.attention import gqa_attention
 
@@ -144,8 +160,8 @@ class Gemma3DecoderLayer(nnx.Module):
         self.pre_feedforward_layernorm = norm()
         self.post_feedforward_layernorm = norm()
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
-        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos, causal_ok=causal_ok)
         x = x + self.post_attention_layernorm(h)
         x = x + self.post_feedforward_layernorm(self.mlp(self.pre_feedforward_layernorm(x)))
         return x, new_cache
@@ -211,12 +227,16 @@ class Gemma3ForCausalLM(nnx.Module):
         full_mask, sliding_mask = self._masks(B, T, cache, cache_pos)
 
         new_cache = [] if cache is not None else None
+        from ..ops.attention import static_zero_pos
+
+        causal0 = static_zero_pos(cache_pos)
         for i, layer in enumerate(self.model.layers):
             sliding = c.layer_types[i] == "sliding_attention"
             mask = sliding_mask if sliding else full_mask
             cos, sin = (cos_l, sin_l) if sliding else (cos_g, sin_g)
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            ok = causal0 and (not sliding or c.sliding_window >= T)
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos, causal_ok=ok)
             if cache is not None:
                 new_cache.append(lc)
 

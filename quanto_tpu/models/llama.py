@@ -311,7 +311,7 @@ class LlamaAttention(nnx.Module):
         new_cache = None
         k_scale = v_scale = None
         if layer_cache is not None:
-            from ..ops.attention import try_flash_decode
+            from ..ops.attention import static_zero_pos, try_flash_decode, try_flash_prefill
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
@@ -325,7 +325,27 @@ class LlamaAttention(nnx.Module):
                     if isinstance(out, QArray):
                         out = out.dequantize()
                     return out, new_cache
+            elif static_zero_pos(cache_pos):
+                # Causal-from-zero prefill: fused splash attention over the
+                # RAW k/v just written (skips the [T, S] einsum chain and
+                # the quantize->dequantize cache readback).
+                out = try_flash_prefill(q, k, v, self.num_kv_heads, self.head_dim)
+                if out is not None:
+                    out = self.o_proj(out)
+                    if isinstance(out, QArray):
+                        out = out.dequantize()
+                    return out, new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif T > 1:
+            # Cache-less forward ([1,1,T,T] causal mask): same fused path.
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(q, k, v, self.num_kv_heads, self.head_dim)
+            if out is not None:
+                out = self.o_proj(out)
+                if isinstance(out, QArray):
+                    out = out.dequantize()
+                return out, None
 
         # Shared grouped-query 5D einsum attention (`ops/attention.gqa_attention`):
         # no repeated-KV materialization, per-slot cache scales factored out

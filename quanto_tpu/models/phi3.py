@@ -153,7 +153,7 @@ class Phi3Attention(nnx.Module):
         self.qkv_proj = nnx.Linear(c.hidden_size, op_size, use_bias=False, param_dtype=c.dtype, rngs=rngs)
         self.o_proj = nnx.Linear(self.num_heads * self.head_dim, c.hidden_size, use_bias=False, param_dtype=c.dtype, rngs=rngs)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         B, T, _ = x.shape
         H, Hkv, D = self.num_heads, self.num_kv_heads, self.head_dim
         qkv = _maybe_deq(self.qkv_proj(x))
@@ -169,7 +169,19 @@ class Phi3Attention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            if causal_ok and T > 1:
+                from ..ops.attention import try_flash_prefill
+
+                out = try_flash_prefill(q, k, v, Hkv, D)
+                if out is not None:
+                    return _maybe_deq(self.o_proj(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif causal_ok and T > 1:
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(q, k, v, Hkv, D)
+            if out is not None:
+                return _maybe_deq(self.o_proj(out)), None
 
         from ..ops.attention import gqa_attention
 
@@ -196,8 +208,8 @@ class Phi3DecoderLayer(nnx.Module):
         self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
         self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
-        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
+        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos, causal_ok=causal_ok)
         x = x + h
         x = x + self.mlp(self.post_attention_layernorm(x))
         return x, new_cache
@@ -256,9 +268,14 @@ class Phi3ForCausalLM(nnx.Module):
         mask = jnp.where(keep, 0.0, neg)
 
         new_cache = [] if cache is not None else None
+        from ..ops.attention import static_zero_pos
+
+        causal_ok = static_zero_pos(cache_pos) and (
+            c.sliding_window is None or c.sliding_window >= T
+        )
         for i, layer in enumerate(self.model.layers):
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos, causal_ok=causal_ok)
             if cache is not None:
                 new_cache.append(lc)
 

@@ -135,7 +135,7 @@ class Qwen3Attention(nnx.Module):
         self.q_norm = RMSNorm(self.head_dim, c.rms_norm_eps, c.dtype)
         self.k_norm = RMSNorm(self.head_dim, c.rms_norm_eps, c.dtype)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
         B, T, _ = x.shape
         H, Hkv, D = self.num_heads, self.num_kv_heads, self.head_dim
         q = self.q_norm(_maybe_deq(self.q_proj(x)).reshape(B, T, H, D))
@@ -150,7 +150,19 @@ class Qwen3Attention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            if causal_ok and T > 1:
+                from ..ops.attention import try_flash_prefill
+
+                out = try_flash_prefill(q, k, v, Hkv, D)
+                if out is not None:
+                    return _maybe_deq(self.o_proj(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+        elif causal_ok and T > 1:
+            from ..ops.attention import try_flash_prefill
+
+            out = try_flash_prefill(q, k, v, Hkv, D)
+            if out is not None:
+                return _maybe_deq(self.o_proj(out)), None
 
         from ..ops.attention import gqa_attention
 
@@ -198,8 +210,11 @@ class Qwen3DecoderLayer(nnx.Module):
         self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
         self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
-        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos)
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
+        h, new_cache = self.self_attn(
+            self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos,
+            causal_ok=causal_ok,
+        )
         x = x + h
         x = x + self.mlp(self.post_attention_layernorm(x))
         return x, new_cache
@@ -258,10 +273,18 @@ class Qwen3ForCausalLM(nnx.Module):
             sliding_mask = jnp.where(causal & (k_pos > q_pos - c.sliding_window), 0.0, neg)
 
         new_cache = [] if cache is not None else None
+        from ..ops.attention import static_zero_pos
+
+        causal0 = static_zero_pos(cache_pos)
         for i, layer in enumerate(self.model.layers):
-            mask = sliding_mask if c.layer_types[i] == "sliding_attention" else full_mask
+            sliding = c.layer_types[i] == "sliding_attention"
+            mask = sliding_mask if sliding else full_mask
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            # A sliding layer whose window covers the whole block is still
+            # pure causal at offset 0.
+            ok = causal0 and (not sliding or c.sliding_window >= T)
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos,
+                          causal_ok=ok)
             if cache is not None:
                 new_cache.append(lc)
 

@@ -18,7 +18,19 @@ import jax.numpy as jnp
 from . import config as ops_config
 
 
-__all__ = ["try_flash_decode", "gqa_attention"]
+__all__ = ["try_flash_decode", "try_flash_prefill", "gqa_attention", "static_zero_pos"]
+
+
+def static_zero_pos(pos) -> bool:
+    """True when `pos` is STATICALLY known to be 0 at trace time (a Python /
+    numpy integer, or None meaning no cache offset). Traced arrays return
+    False even if concretely zero — the fast paths keyed on this must be
+    resolvable while tracing."""
+    import numpy as np
+
+    if pos is None:
+        return True
+    return isinstance(pos, (int, np.integer)) and int(pos) == 0
 
 
 def _slot_scale_t(s, dtype):
@@ -92,6 +104,69 @@ def gqa_attention(
         probs = probs.astype(out_dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     return out.reshape(B, T, Hkv * G * D)
+
+def try_flash_prefill(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_kv_heads: int,
+    head_dim: int,
+    *,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+) -> Optional[jnp.ndarray]:
+    """Fused causal prefill attention over the RAW (pre-quantization) K/V.
+
+    q [B, T, H, D]; k/v [B, T, Hkv, D], T > 1. Callers must ONLY use this
+    when the step is statically causal-from-zero (`static_zero_pos`): every
+    query attends exactly to keys 0..i of the same T-block, so the cache
+    readback (and its quantize->dequantize error) is skipped entirely.
+
+    Implementation: `splash`-MQA Pallas kernels (one per kv head via vmap,
+    G query heads inside the kernel), which keep the [T, T] logits/softmax
+    chain in VMEM tiles and skip the masked upper-triangle blocks — vs the
+    einsum path's full-T^2 HBM round trip. Returns [B, T, H*D] in q.dtype,
+    or None when disabled / outside the envelope (caller falls back to
+    `gqa_attention`)."""
+    if not ops_config.use_flash_prefill():
+        return None
+    B, T, H, D = q.shape
+    if T < 256 or T % 128 != 0 or D % 128 != 0:
+        return None
+    if q.dtype not in (jnp.bfloat16, jnp.float32):
+        return None
+    try:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as splash,
+            splash_attention_mask as mask_lib,
+        )
+    except ImportError:  # pragma: no cover - jax always ships it here
+        return None
+    g = H // num_kv_heads
+    interpret = ops_config.pallas_interpret()
+    mask = mask_lib.MultiHeadMask(
+        [mask_lib.CausalMask((T, T)) for _ in range(g)]
+    )
+    kernel = splash.make_splash_mqa_single_device(
+        mask=mask,
+        attn_logits_soft_cap=softcap,
+        interpret=interpret,
+    )
+    # Fold the softmax scale into q (the kernel applies none).
+    if scale is None:
+        scale = head_dim**-0.5
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # [B, Hkv, G, T, D] / [B, Hkv, T, D] for the (batch, kv-head) vmaps.
+    q5 = jnp.transpose(
+        qs.reshape(B, T, num_kv_heads, g, D), (0, 2, 3, 1, 4)
+    )
+    k3 = jnp.transpose(k, (0, 2, 1, 3))
+    v3 = jnp.transpose(v, (0, 2, 1, 3))
+    run = jax.vmap(jax.vmap(kernel, in_axes=(0, 0, 0)), in_axes=(0, 0, 0))
+    out = run(q5, k3, v3)  # [B, Hkv, G, T, D]
+    out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(B, T, H * D)
+    return out.astype(q.dtype)
+
 
 # Bench/tuning knob: "v2" (full-row tile-aligned blocks), "v3" (multi-batch
 # grid steps + online-softmax S chunks; knobs _V3_BB/_V3_SB), "v1" (round-1

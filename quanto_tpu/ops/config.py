@@ -20,6 +20,7 @@ _STATE = {
     "fp8_dot": None,
     "bf16_softmax": None,
     "w4a8_requant_dot": None,
+    "flash_prefill": None,
 }
 
 
@@ -71,15 +72,18 @@ def set_backend(
     fp8_dot: bool | None = None,
     bf16_softmax: bool | None = None,
     w4a8_requant_dot: bool | None = None,
+    flash_prefill: bool | None = None,
 ) -> None:
     """Force Pallas kernels / fp8-dot / bf16 attention softmax / W4A8
-    requant-dot prefill on/off (None restores auto-detection)."""
+    requant-dot prefill / flash causal prefill on/off (None restores
+    auto-detection)."""
     _STATE["pallas_qbits"] = pallas_qbits
     _STATE["pallas_qbytes"] = pallas_qbytes
     _STATE["flash_decode"] = flash_decode
     _STATE["fp8_dot"] = fp8_dot
     _STATE["bf16_softmax"] = bf16_softmax
     _STATE["w4a8_requant_dot"] = w4a8_requant_dot
+    _STATE["flash_prefill"] = flash_prefill
 
 
 def use_pallas_qbits() -> bool:
@@ -152,6 +156,27 @@ def use_w4a8_requant_dot() -> bool:
     if env is not None:
         return env.lower() in ("1", "true", "yes", "on")
     return True
+
+
+def use_flash_prefill() -> bool:
+    """Fused causal prefill attention (`ops/attention.try_flash_prefill`,
+    vmapped splash-MQA Pallas kernels over the raw pre-quantization K/V):
+    skips both the [T, S] f32 logits/softmax HBM round trip of the einsum
+    path and the masked upper-triangle FLOPs, and attends to the prompt's
+    own keys at full precision instead of the quantize->dequantize cache
+    readback. Only taken when the step is STATICALLY causal-from-zero
+    (`attention.static_zero_pos`); chunked prefill at a traced offset stays
+    on the einsum path. `set_backend(flash_prefill=...)` /
+    QUANTO_TPU_FLASH_PREFILL override; auto = on (TPU kernel, interpret mode
+    in CPU tests)."""
+    if os.environ.get("QUANTO_TPU_DISABLE_PALLAS"):
+        return False
+    if _STATE["flash_prefill"] is not None:
+        return _STATE["flash_prefill"]
+    env = os.environ.get("QUANTO_TPU_FLASH_PREFILL")
+    if env is not None:
+        return env.lower() in ("1", "true", "yes", "on")
+    return _on_tpu() and _single_device_ok()
 
 
 def pallas_interpret() -> bool:

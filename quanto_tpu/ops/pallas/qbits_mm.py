@@ -387,41 +387,177 @@ def _prefill_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, int
 
 # int8-dot crossover: the isolated MXU rate A/B (bench/int8_mxu_rate_bench.py)
 # measures int8xint8 at 1.05x bf16 at M=1024 but 1.27x at M=2048 / 1.44x at
-# M=4096; below 2048 the requant pass overhead (~3 weight-size HBM passes)
-# eats the margin, so the K-chunked Pallas kernel keeps those shapes.
+# M=4096; below 2048 the integer-rate margin is too thin to beat the exact
+# per-group kernel, which keeps those shapes.
+#
+# (A first attempt ran the requant at the XLA level — unpack -> dequant ->
+# per-channel int8 -> one big dot. Measured 0.72x of bf16 at 8B/M=2048 vs
+# the exact kernel's 0.94x: XLA materializes the [N, K] f32 dequant
+# intermediate (235 MB for the down_proj) instead of fusing it into the int8
+# producer. The requant lives INSIDE the Pallas kernel below instead.)
 _INT8_DOT_MIN_M = 2048
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "gs", "K", "k_shards"))
-def _int8_requant_dot(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1):
-    """W4A8 prompt-shaped matmul: re-quantize the group-wise sub-byte weights
-    to per-channel int8 in-jit (XLA fuses unpack -> dequant -> requant into
-    one pass over the weights), then run ONE full-K int8xint8 `dot_general`
-    with i32 accumulation — the same route that makes W8A8 prefill 1.30x
-    bf16 (RESULTS.md). The float-shift is folded into the int8 codes, so no
-    x-sum correction term is needed; the epilogue is a single per-channel
-    f32 rescale. Costs ~2 extra weight-size HBM passes (int8 write + read)
-    and adds a per-channel int8 re-quantization error on top of the int4
-    error (the int8 step is ~8x finer than the coarsest group's int4 step,
-    so the added error power is a few percent — gated by the fidelity
-    tests)."""
-    N = packed.shape[0]
+def _int8pc_kernel(*refs, gs, vals, bits, kp_b, nk):
+    """W4A8 prefill with PER-CHANNEL int8 requantization in-kernel.
+
+    The exact int8 kernel (`_prefill_kernel` with int8 x) must rescale its
+    i32 partials every `gs`-wide chunk (group-wise scales), which caps its
+    dots at K=128 and spends 3 VPU ops per output element per chunk — the
+    measured gap to the raw int8 MXU rate (0.94x vs 1.27x of bf16 at
+    M=2048). Re-quantizing each weight tile to per-channel int8 as it is
+    unpacked (round(code * s_g/s8 - z_g/s8), one VPU pass over WEIGHT-sized
+    data) makes the i32 accumulation valid across the whole K tile AND the
+    whole K grid: full-bkp int8 dots, i32 scratch accumulator, one f32
+    `* s8[n]` epilogue at the last K step. Numerics match the
+    `_int8_requant_dot` contract: a per-channel int8 step ~8x finer than the
+    coarsest group's int4 step (fidelity-gated in
+    tests/ops/test_pallas_kernels.py).
+    """
+    x_refs = refs[:vals]
+    p_ref, rs_ref, rz_ref, s8_ref, out_ref = refs[vals : vals + 5]
+    acc_ref = refs[vals + 5]
+    k = pl.program_id(2)
+    BM = x_refs[0].shape[0]
+    BN = p_ref.shape[0]
+    bkp = p_ref.shape[1]
+    unsigned = p_ref.dtype == jnp.uint8
+    mask = 2**bits - 1
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    blk = (k * bkp) // kp_b
+    jl_base = k * bkp - blk * kp_b
+    nseg = max(bkp // gs, 1)
+    seg_w = min(gs, bkp)
+    b32 = p_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((BM, BN), jnp.int32)
+    for part in range(vals):
+        raw = _unpack_part(b32, part, bits, vals, mask, unsigned).astype(jnp.float32)
+        k0p = (blk * vals + part) * kp_b + jl_base
+        segs = []
+        for s_i in range(nseg):
+            g = (k0p + s_i * seg_w) // gs
+            rs = rs_ref[:, pl.ds(g, 1)]  # [BN, 1]
+            rz = rz_ref[:, pl.ds(g, 1)]
+            seg = raw[:, s_i * seg_w : (s_i + 1) * seg_w] * rs - rz
+            segs.append(seg)
+        c8f = jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
+        c8 = jnp.clip(jnp.round(c8f), -127, 127).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            x_refs[part][:], c8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    acc_ref[:] += acc
+
+    @pl.when(k == nk - 1)
+    def _fin():
+        out_ref[:] = acc_ref[:].astype(jnp.float32) * s8_ref[0:1, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gs", "bm", "bn", "bkp", "vals", "bits", "k_shards", "interpret"),
+)
+def _int8pc_call(
+    x, packed, scale_t, shift_t, *, gs, bm, bn, bkp, vals, bits, k_shards=1, interpret=False
+):
+    M, K = x.shape
+    N, Kpacked = packed.shape
     G = scale_t.shape[0]
-    codes = unpack_split_half(packed, bits, K, k_shards)  # [N, K] uint8
-    s = scale_t.astype(jnp.float32).T  # [N, G]
-    z = shift_t.astype(jnp.float32).T
+    kp_b = Kpacked // k_shards
+    rb = kp_b // bkp
+    nk = Kpacked // bkp
+    s = scale_t.astype(jnp.float32)  # [G, N]
+    z = shift_t.astype(jnp.float32)
     qmax = float(2**bits - 1)
-    amax = jnp.max(jnp.maximum(jnp.abs(z), jnp.abs(s * qmax - z)), axis=1)  # [N]
+    amax = jnp.max(jnp.maximum(jnp.abs(z), jnp.abs(s * qmax - z)), axis=0)  # [N]
     s8 = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
-    wf = codes.reshape(N, G, gs).astype(jnp.float32) * s[:, :, None] - z[:, :, None]
-    c8 = jnp.clip(jnp.round(wf / s8[:, None, None]), -127, 127).astype(jnp.int8)
-    y = jax.lax.dot_general(
-        x2,
-        c8.reshape(N, K),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+    rs2 = (s / s8[None, :]).T  # [N, G]
+    rz2 = (z / s8[None, :]).T
+    s8p = jnp.broadcast_to(s8[None, :], (8, N))  # >=8 sublanes for Mosaic
+    kernel = functools.partial(
+        _int8pc_kernel, gs=gs, vals=vals, bits=bits, kp_b=kp_b, nk=nk
     )
-    return y.astype(jnp.float32) * s8[None, :]
+    x_specs = [
+        pl.BlockSpec(
+            (bm, bkp),
+            lambda i, j, k, p=p: (i, (k // rb * vals + p) * rb + k % rb),
+            memory_space=pltpu.VMEM,
+        )
+        for p in range(vals)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(M // bm, N // bn, nk),
+        in_specs=x_specs + [
+            pl.BlockSpec((bn, bkp), lambda i, j, k: (j, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, G), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, G), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=N * Kpacked * packed.dtype.itemsize
+            + M * K + M * N * 4 + 2 * N * G * 4,
+            transcendentals=0,
+        ),
+    )(*([x] * vals), packed, rs2, rz2, s8p)
+
+
+def _int8pc_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, interpret=False):
+    """M>=_INT8_DOT_MIN_M dispatch to the per-channel int8 prefill kernel.
+    Returns the [M, N] f32 output or None when outside the envelope."""
+    M = x2.shape[0]
+    N, Kpacked = packed.shape
+    vals = _word_vals(packed.dtype, bits)
+    if gs == K or gs % _CHUNK != 0:
+        return None
+    kp_b = Kpacked // k_shards
+    G = scale_t.shape[0]
+    bm = 256
+
+    def vmem_est(bn_c, bkp_c):
+        x_b = vals * bm * bkp_c  # int8
+        w_b = bn_c * bkp_c * packed.dtype.itemsize
+        s_b = 2 * bn_c * G * 4 + 8 * bn_c * 4
+        return 2 * (x_b + w_b + s_b) + bm * bn_c * 8  # out f32 + i32 scratch
+
+    bkp = bn = None
+    for bkp_c in (1024, 512, 256, 128):
+        if kp_b % bkp_c:
+            continue
+        # Requant segments must align to groups: whole groups per tile, or
+        # whole tiles per group (see the seg loop in _int8pc_kernel).
+        if bkp_c % gs and gs % bkp_c:
+            continue
+        for bn_c in (1024, 512, 256, 128):
+            if N % bn_c == 0 and vmem_est(bn_c, bkp_c) <= 12 * 1024 * 1024:
+                bkp, bn = bkp_c, bn_c
+                break
+        if bkp is not None:
+            break
+    if bkp is None or bn is None:
+        return None
+    m_pad = -M % bm
+    if m_pad:
+        x2 = jnp.pad(x2, ((0, m_pad), (0, 0)))
+    out = _int8pc_call(
+        x2, packed, scale_t, shift_t,
+        gs=gs, bm=bm, bn=bn, bkp=bkp, vals=vals, bits=bits,
+        k_shards=k_shards, interpret=interpret,
+    )
+    return out[:M] if m_pad else out
 
 
 def _int8_kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
@@ -542,15 +678,16 @@ def qbits_int8_matmul_kernel_call(
     for d in lead:
         M *= d
     if M > _MAX_M:
-        if M >= _INT8_DOT_MIN_M and gs != K and config.use_w4a8_requant_dot():
-            # Long prompts: per-channel int8 requant + one big int8 MXU dot
-            # (see _int8_requant_dot) — 1.27-1.44x the bf16 rate at M>=2048.
-            out = _int8_requant_dot(
+        if M >= _INT8_DOT_MIN_M and config.use_w4a8_requant_dot():
+            # Long prompts: in-kernel per-channel int8 requant + full-tile
+            # int8 MXU dots with i32 grid accumulation (_int8pc_kernel).
+            out = _int8pc_route(
                 x_data.reshape(M, K), packed, scale_t, shift_t,
-                bits=bits, gs=gs, K=K, k_shards=k_shards,
+                bits=bits, gs=gs, K=K, k_shards=k_shards, interpret=interpret,
             )
-            out = out * jnp.asarray(x_scale, jnp.float32).reshape(())
-            return out.reshape(*lead, N).astype(float_dtype)
+            if out is not None:
+                out = out * jnp.asarray(x_scale, jnp.float32).reshape(())
+                return out.reshape(*lead, N).astype(float_dtype)
         # W4A8 prefill: same tiled kernel, int8 x int4 on the integer MXU.
         out = _prefill_route(
             x_data.reshape(M, K), packed, scale_t, shift_t,
