@@ -147,15 +147,20 @@ def use_w4a8_requant_dot() -> bool:
     that the K-chunked Pallas prefill kernel cannot reach because of its
     per-group f32 rescale epilogue. Adds a small per-channel int8
     re-quantization error on top of the int4 error (fidelity-gated in
-    tests/ops/test_pallas_kernels.py); QUANTO_TPU_W4A8_REQUANT=0 or
-    `set_backend(w4a8_requant_dot=False)` restores the exact kernel path.
+    tests/ops/test_pallas_kernels.py); QUANTO_TPU_W4A8_REQUANT=1 or
+    `set_backend(w4a8_requant_dot=True)` enables it.
+
+    OPT-IN like the other accuracy-affecting routes (bf16_softmax,
+    flash_decode) — ADVICE round-3: an approximate path must not change
+    numerics by default. Flip only with a measured >=1.1x win AND the
+    fidelity gates holding (see RESULTS.md W4A8 requant-dot A/B).
     """
     if _STATE["w4a8_requant_dot"] is not None:
         return _STATE["w4a8_requant_dot"]
     env = os.environ.get("QUANTO_TPU_W4A8_REQUANT")
     if env is not None:
         return env.lower() in ("1", "true", "yes", "on")
-    return True
+    return False
 
 
 def use_flash_prefill() -> bool:

@@ -103,25 +103,40 @@ class ElasticCheckpointer:
         return True
 
     def save(self, step: int, model, extra: Optional[Dict] = None) -> None:
-        final = self.path(step)
-        exists = os.path.exists(final)
-        if jax.process_count() > 1:
-            # All processes must agree on whether step_<N> already exists:
-            # on shared storage a fast host can observe the rename before a
-            # slow one, and a split decision around the collective orbax
-            # save below would hang the slice (some hosts inside the
-            # collective, others returned). Process 0's view is canonical.
-            import numpy as np
-            from jax.experimental import multihost_utils
+        """Write the step checkpoint.
 
-            exists = bool(multihost_utils.broadcast_one_to_all(np.asarray(exists)))
-        if exists:
-            return
-        if not self._fully_addressable(model):
+        Collectivity contract (ADVICE round-3): when the model holds
+        cross-host-sharded (non-fully-addressable) arrays, save() is a
+        COLLECTIVE — every process must call it, or the slice hangs in the
+        orbax barrier. When all arrays are fully addressable, save() is
+        process-local (non-primary hosts return immediately), so
+        primary-only step gating is safe in that regime.
+        """
+        final = self.path(step)
+        if self._fully_addressable(model):
+            if os.path.exists(final):
+                return
+        else:
             # Cross-host-sharded weights: serializing through numpy would
             # fail (no process can see every shard). Route through orbax,
             # which writes each process's shards collectively and commits
-            # atomically; every process must participate.
+            # atomically; every process must participate. All processes
+            # must also AGREE on whether step_<N> already exists: on shared
+            # storage a fast host can observe the rename before a slow one,
+            # and a split decision around the collective save would hang the
+            # slice (some hosts inside, others returned). Process 0's view
+            # is canonical. The broadcast lives only on this branch so the
+            # fully-addressable path above stays non-collective.
+            exists = os.path.exists(final)
+            if jax.process_count() > 1:
+                import numpy as np
+                from jax.experimental import multihost_utils
+
+                exists = bool(
+                    multihost_utils.broadcast_one_to_all(np.asarray(exists))
+                )
+            if exists:
+                return
             self._save_orbax(step, model, extra, final)
             return
         if not self._primary:

@@ -24,23 +24,64 @@ Remaining (unfixable here) axon s4 limitations, both avoidable:
 
 from __future__ import annotations
 
+import inspect
+import os
+
 _APPLIED = False
 
 
 def _sub_byte_bits(layout) -> int:
-    return getattr(layout, "_sub_byte_element_size_in_bits", 0)
+    bits = getattr(layout, "_sub_byte_element_size_in_bits", None)
+    if bits is None:
+        # Private attr renamed/removed: return a sentinel that can never be
+        # mistaken for a real sub-byte width, so the {0, 4} guard below
+        # rejects the relaxation instead of silently accepting everything.
+        return -1
+    return bits
+
+
+def _axon_runtime_active() -> bool:
+    """True only when the axon PJRT plugin is the live TPU backend.
+
+    The shim works around an axon-specific metadata bug (sub-byte layouts
+    reported with element size 0); on healthy runtimes (CPU, standard
+    libtpu) monkeypatching jax internals is all risk and no benefit, so we
+    refuse to install there. QUANTO_TPU_AXON_SHIM=1/0 force-overrides.
+    """
+    env = os.environ.get("QUANTO_TPU_AXON_SHIM")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    try:
+        from jax._src import xla_bridge as xb
+
+        return "axon" in xb.backends()
+    except Exception:
+        return False
 
 
 def apply() -> None:
-    """Install the shard-arg layout shim (idempotent)."""
+    """Install the shard-arg layout shim (idempotent, axon-only).
+
+    No-op unless the axon runtime is detected (see _axon_runtime_active) and
+    the patched handler's signature matches what the wrapper expects — both
+    checks fail open to the stock handler, per ADVICE round-3 (medium).
+    """
     global _APPLIED
     if _APPLIED:
         return
     _APPLIED = True
+    if not _axon_runtime_active():
+        return
     from jax._src import array as _array
     from jax._src.interpreters import pxla
 
     orig = pxla.shard_arg_handlers[_array.ArrayImpl]
+    try:
+        params = list(inspect.signature(orig).parameters)
+    except (TypeError, ValueError):
+        return
+    if params != ["xs", "shardings", "layouts", "copy_semantics"]:
+        return  # jax changed the handler ABI: leave it untouched
 
     def patched(xs, shardings, layouts, copy_semantics):
         layouts = list(layouts)

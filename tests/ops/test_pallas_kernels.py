@@ -403,27 +403,30 @@ def test_w4a8_requant_dot_route(k_shards):
     qx = quantize_activation(x, qint8, jnp.float32(np.abs(np.asarray(x)).max() / 127.0))
     ref = np.asarray(qx.dequantize() @ qw.dequantize().T)
 
-    ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=True)
-    out = qbits_int8_matmul_kernel_call(
-        qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
-        4, 128, jnp.float32, k_shards=k_shards, interpret=True,
-    )
-    assert out is not None
-    out = np.asarray(out)
-    # cosine vs the exact-dequant oracle: the int8 requant step is ~8x finer
-    # than the coarsest group's int4 step, so correlation stays ~1.
-    cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
-    assert cos > 0.9995, cos
-    # and per-element error bounded by the int8 step propagated through K
-    err = np.abs(out - ref).max()
-    amax = np.abs(np.asarray(qw.dequantize())).max()
-    assert err < amax / 127.0 * np.abs(np.asarray(qx.dequantize())).sum(1).max() * 0.1
+    try:
+        ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=True)
+        out = qbits_int8_matmul_kernel_call(
+            qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
+            4, 128, jnp.float32, k_shards=k_shards, interpret=True,
+        )
+        assert out is not None
+        out = np.asarray(out)
+        # cosine vs the exact-dequant oracle: the int8 requant step is ~8x
+        # finer than the coarsest group's int4 step, so correlation stays ~1.
+        cos = (out * ref).sum() / (np.linalg.norm(out) * np.linalg.norm(ref))
+        assert cos > 0.9995, cos
+        # and per-element error bounded by the int8 step propagated through K
+        err = np.abs(out - ref).max()
+        amax = np.abs(np.asarray(qw.dequantize())).max()
+        assert err < amax / 127.0 * np.abs(np.asarray(qx.dequantize())).sum(1).max() * 0.1
 
-    # Flag off: exact kernel path (tight match as in the prefill oracle test).
-    ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=False)
-    exact = qbits_int8_matmul_kernel_call(
-        qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
-        4, 128, jnp.float32, k_shards=k_shards, interpret=True,
-    )
-    assert exact is not None
-    np.testing.assert_allclose(np.asarray(exact), ref, rtol=5e-4, atol=1e-4)
+        # Flag off: exact kernel path (tight match, as the prefill oracle).
+        ops_config.set_backend(pallas_qbits=True, w4a8_requant_dot=False)
+        exact = qbits_int8_matmul_kernel_call(
+            qx.data, qx.scale, tpu._packed, tpu._scale_t, tpu._shift_t,
+            4, 128, jnp.float32, k_shards=k_shards, interpret=True,
+        )
+        assert exact is not None
+        np.testing.assert_allclose(np.asarray(exact), ref, rtol=5e-4, atol=1e-4)
+    finally:
+        ops_config.set_backend()  # restore auto-detection for later tests
