@@ -73,6 +73,11 @@ def build(variant):
 
             n = convert_moe_to_gathered(model, capacity_factor=2.0)
             log(f"converted {n} blocks to gathered dispatch")
+        elif variant == "moe-stacked":
+            from quanto_tpu.parallel import convert_moe_to_stacked
+
+            n = convert_moe_to_stacked(model, capacity_factor=2.0)
+            log(f"converted {n} blocks to stacked-kernel dispatch")
     dev = jax.devices()[0]
     for _p, node in nnx.iter_graph(model):
         if isinstance(node, nnx.Variable):
@@ -92,22 +97,25 @@ def measure(variant):
     log(f"{variant}: built+transferred in {time.time()-t0:.0f}s")
     graphdef, state = nnx.split(model)
 
-    # decode: B=8, ctx 512+, 32 scanned steps
-    B, new = 8, 32
+    # decode: B sweep, ctx 512+, 32 scanned steps. VERDICT round-3 #4:
+    # B=1-2 is the regime where per-step expert subsetting matters (a step
+    # touches ~S*top_k of E experts); B=8 is the all-experts streaming tie.
+    new = 32
     decode = make_decode_fn(graphdef, new)
-    cache = init_kv_cache(cfg, B, 640, kv_quant="qint8")
-    tok = jnp.zeros((B, 1), jnp.int32)
-    toks, _ = decode(state, tok, cache, 512)
-    float(jax.device_get(jnp.sum(toks)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
+    for B in (1, 2, 4, 8):
+        cache = init_kv_cache(cfg, B, 640, kv_quant="qint8")
+        tok = jnp.zeros((B, 1), jnp.int32)
         toks, _ = decode(state, tok, cache, 512)
         float(jax.device_get(jnp.sum(toks)))
-        best = min(best, time.time() - t0)
-    dec_tps = B * new / best
-    log(f"{variant}: decode {best*1e3/new:.2f} ms/step, {dec_tps:.0f} tok/s (B={B})")
-    del cache
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            toks, _ = decode(state, tok, cache, 512)
+            float(jax.device_get(jnp.sum(toks)))
+            best = min(best, time.time() - t0)
+        dec_tps = B * new / best
+        log(f"{variant}: decode {best*1e3/new:.2f} ms/step, {dec_tps:.0f} tok/s (B={B})")
+        del cache
 
     # prefill: B=1, T=2048
     T = 2048
@@ -130,12 +138,13 @@ def measure(variant):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="all",
-                   choices=["all", "dense-active", "moe-dense", "moe-gathered"])
+                   choices=["all", "dense-active", "moe-dense", "moe-gathered",
+                            "moe-stacked"])
     args = p.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     variants = (
-        ["dense-active", "moe-dense", "moe-gathered"]
+        ["dense-active", "moe-dense", "moe-gathered", "moe-stacked"]
         if args.variant == "all"
         else [args.variant]
     )

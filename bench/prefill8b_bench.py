@@ -123,10 +123,11 @@ def main():
         t = measure(model, cfg, tag, flash=True)
         log(f"{tag}+flash: {t32f/t:.2f}x of bf16+flash depth-fit")
         if tag == "w4a8":
-            # same-session A/B of the requant-dot route vs the exact
-            # K-chunked prefill kernel (ops/config.use_w4a8_requant_dot)
-            t = measure(model, cfg, tag + "+exact-kernel", w4a8_requant_dot=False)
-            log(f"{tag}+exact-kernel: {t32/t:.2f}x of bf16 depth-fit")
+            # same-session A/B of the requant-dot route (opt-in since round
+            # 4) vs the exact K-chunked prefill kernel, which is the default
+            # measured above (ops/config.use_w4a8_requant_dot)
+            t = measure(model, cfg, tag + "+requant-dot", w4a8_requant_dot=True)
+            log(f"{tag}+requant-dot: {t32/t:.2f}x of bf16 depth-fit")
         if args.bf16_softmax:
             t = measure(model, cfg, tag + "+bf16sm", bf16_softmax=True)
             log(f"{tag}+bf16sm: {t32/t:.2f}x of bf16 depth-fit")

@@ -102,16 +102,16 @@ class BloomAttention(nnx.Module):
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        # scores = alibi + qk/sqrt(d)  (HF baddbmm beta=1, alpha=inv_norm_factor)
-        logits = logits * (D ** -0.5) + alibi + mask
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, C)
+        # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`).
+        # scores = alibi + qk/sqrt(d) (HF baddbmm beta=1, alpha=inv_norm):
+        # ALiBi is added AFTER the scale factor, so it rides `head_bias`
+        # (post-scale), not the falcon-style pre-scale `alibi` slot.
+        from ..ops.attention import gqa_attention
+
+        out = gqa_attention(
+            q[:, :, :, None, :], k, v, mask, D ** -0.5,
+            k_scale=k_scale, v_scale=v_scale, head_bias=alibi,
+        )
         return _maybe_deq(self.dense(out)), new_cache
 
 

@@ -322,14 +322,35 @@ class DeepseekV3Attention(nnx.Module):
         if s_lat is not None:
             l_nope = l_nope * s_lat[:, None, None, :]
             l_rope = l_rope * s_rot[:, None, None, :]
-        logits = (l_nope + l_rope) * self.scaling + mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        # bf16 softmax chain (ops/config.use_bf16_softmax, same opt-in knob
+        # as gqa_attention): the [B, H, T, S] logits/probs intermediates run
+        # at half HBM traffic; the normalizer accumulates f32 and the
+        # division is DEFERRED past both latent contractions (divides the
+        # [.., Dv] output instead of the [.., S] probabilities).
+        from ..ops import config as _ops_config
+
+        bf16_chain = x.dtype == jnp.bfloat16 and _ops_config.use_bf16_softmax()
+        logits = (l_nope + l_rope) * self.scaling
+        if bf16_chain:
+            logits = logits.astype(jnp.bfloat16)
+        logits = logits + mask.astype(logits.dtype)
+        norm = None
+        if bf16_chain:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            probs = jnp.exp(logits - m)
+            norm = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+            probs = probs.astype(x.dtype)
+        else:
+            probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         if s_lat is not None:
             probs_lat = (probs * s_lat[:, None, None, :].astype(probs.dtype))
         else:
             probs_lat = probs
         ctx = jnp.einsum("bhqk,bkl->bqhl", probs_lat, c_cache.astype(probs.dtype))
-        out = jnp.einsum("bqhl,hdl->bqhd", ctx, w_uv.astype(ctx.dtype)).reshape(B, T, H * Dv)
+        out = jnp.einsum("bqhl,hdl->bqhd", ctx, w_uv.astype(ctx.dtype))
+        if norm is not None:
+            out = (out / jnp.transpose(norm, (0, 2, 1, 3))).astype(x.dtype)
+        out = out.reshape(B, T, H * Dv)
         return _maybe_deq(self.o_proj(out)), new_cache
 
 

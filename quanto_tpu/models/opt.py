@@ -100,16 +100,14 @@ class OPTAttention(nnx.Module):
                 if out is not None:
                     return _maybe_deq(self.out_proj(out)), new_cache
             k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
-        scale = self.head_dim ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        logits = logits * scale + mask
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, C)
+        # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`):
+        # quantized-cache scale factoring + opt-in bf16 softmax chain.
+        from ..ops.attention import gqa_attention
+
+        out = gqa_attention(
+            q[:, :, :, None, :], k, v, mask, self.head_dim ** -0.5,
+            k_scale=k_scale, v_scale=v_scale,
+        )
         return _maybe_deq(self.out_proj(out)), new_cache
 
 

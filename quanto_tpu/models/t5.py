@@ -189,19 +189,15 @@ class T5Attention(nnx.Module):
 
                 new_cache = kv_update(layer_cache, k, v, cache_pos)
                 k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
-        # T5: NO 1/sqrt(d) scaling.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if k_scale is not None:
-            logits = logits * jnp.transpose(k_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        if bias is not None:
-            logits = logits + bias.astype(jnp.float32)
-        if mask is not None:
-            logits = logits + mask
-        probs = jax.nn.softmax(logits, axis=-1)
-        if v_scale is not None:
-            probs = probs * jnp.transpose(v_scale[..., 0], (0, 2, 1))[:, :, None, :]
-        probs = probs.astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, H * Dk)
+        # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`).
+        # T5: NO 1/sqrt(d) scaling (scale=1.0); the relative position bias
+        # is a per-head additive term -> `head_bias`.
+        from ..ops.attention import gqa_attention
+
+        out = gqa_attention(
+            q[:, :, :, None, :], k, v, mask, 1.0,
+            k_scale=k_scale, v_scale=v_scale, head_bias=bias,
+        )
         return _maybe_deq(self.o(out)), new_cache
 
 

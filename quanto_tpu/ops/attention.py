@@ -43,13 +43,14 @@ def gqa_attention(
     q5: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    mask: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
     scale: float,
     *,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     softcap: Optional[float] = None,
     alibi: Optional[jnp.ndarray] = None,
+    head_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Grouped-query attention WITHOUT materializing repeated KV: the
     query-head groups fold into a 5D einsum over shared kv heads (a
@@ -61,7 +62,14 @@ def gqa_attention(
     mask [B or 1, 1, T, S] additive; per-slot cache scales factor out of the
     contractions: k_scale applies to the logits, v_scale to the
     probabilities. Transform order matches HF eager attention:
-    (+alibi) -> *scale -> softcap -> +mask.
+    (+alibi) -> *scale -> softcap -> (+head_bias) -> +mask.
+
+    `alibi` is the falcon-style PRE-scale key-positional bias
+    ([B, Hkv*G, S]-reshapeable); `head_bias` is a POST-scale per-head
+    additive bias [B or 1, Hkv*G, T or 1, S] — bloom's alibi (HF adds it
+    after the 1/sqrt(d) factor) and t5's relative position bias (which runs
+    with scale=1.0) ride this. `mask` may be None (e.g. whisper/t5
+    cross-attention over full encoder states).
 
     Returns [B, T, Hkv*G*D] in q5.dtype.
 
@@ -88,7 +96,13 @@ def gqa_attention(
     logits = logits * jnp.asarray(scale, logits.dtype)
     if softcap is not None:
         logits = jnp.tanh(logits / softcap) * softcap
-    logits = logits + mask[:, :, None].astype(logits.dtype)
+    if head_bias is not None:
+        hb = head_bias.reshape(
+            head_bias.shape[0], Hkv, G, head_bias.shape[-2], head_bias.shape[-1]
+        )
+        logits = logits + hb.astype(logits.dtype)
+    if mask is not None:
+        logits = logits + mask[:, :, None].astype(logits.dtype)
     if bf16_chain:
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)

@@ -220,7 +220,7 @@ def _kernel(x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
     out_ref[:] = y
 
 
-def _prefill_kernel(*refs, group_size, vals, bits, kp_b):
+def _prefill_kernel(*refs, group_size, vals, bits, kp_b, k_axis=2):
     """Prefill-shaped (large-M) variant: M/N/K-tiled grid instead of the
     decode kernel's VMEM-resident x. The word layouts pack position j with
     positions j + p*(K_block/vals) inside each of the `k_shards` K blocks
@@ -235,7 +235,7 @@ def _prefill_kernel(*refs, group_size, vals, bits, kp_b):
     p_ref, s_ref, z_ref, out_ref = refs[vals:]
     unsigned = p_ref.dtype == jnp.uint8
     mask = 2**bits - 1
-    k = pl.program_id(2)
+    k = pl.program_id(k_axis)
 
     @pl.when(k == 0)
     def _init():
@@ -434,14 +434,24 @@ def _int8pc_kernel(*refs, gs, vals, bits, kp_b, nk):
     seg_w = min(gs, bkp)
     b32 = p_ref[:].astype(jnp.int32)
     acc = jnp.zeros((BM, BN), jnp.int32)
+    # Group-column extraction: `rs_ref[:, pl.ds(g, 1)]` would be a
+    # dynamic-start lane-dim slice, which Mosaic rejects ("cannot statically
+    # prove that index in dimension 1 is a multiple of 128" — hit on real
+    # hardware, invisible in interpret mode). Select the column with a
+    # masked lane reduction instead: G is tiny (K/gs <= ~128 lanes), so the
+    # [BN, G] pass is noise next to the [BM, BN, bkp] dot.
+    rs_full = rs_ref[:].astype(jnp.float32)  # [BN, G]
+    rz_full = rz_ref[:].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, rs_full.shape[1]), 1)
     for part in range(vals):
         raw = _unpack_part(b32, part, bits, vals, mask, unsigned).astype(jnp.float32)
         k0p = (blk * vals + part) * kp_b + jl_base
         segs = []
         for s_i in range(nseg):
             g = (k0p + s_i * seg_w) // gs
-            rs = rs_ref[:, pl.ds(g, 1)]  # [BN, 1]
-            rz = rz_ref[:, pl.ds(g, 1)]
+            sel = (col == g).astype(jnp.float32)
+            rs = jnp.sum(rs_full * sel, axis=1, keepdims=True)  # [BN, 1]
+            rz = jnp.sum(rz_full * sel, axis=1, keepdims=True)
             seg = raw[:, s_i * seg_w : (s_i + 1) * seg_w] * rs - rz
             segs.append(seg)
         c8f = jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
@@ -542,7 +552,11 @@ def _int8pc_route(x2, packed, scale_t, shift_t, *, bits, gs, K, k_shards=1, inte
         if bkp_c % gs and gs % bkp_c:
             continue
         for bn_c in (1024, 512, 256, 128):
-            if N % bn_c == 0 and vmem_est(bn_c, bkp_c) <= 12 * 1024 * 1024:
+            # 6 MB budget: Mosaic's real stack allocation measured ~2.1x
+            # this estimate (17.84 MB actual vs 8.6 MB estimated at
+            # bkp=bn=1024, K=4096 — scoped-vmem OOM on the 8B o_proj), so
+            # the headroom keeps actual under the 16 MB scoped limit.
+            if N % bn_c == 0 and vmem_est(bn_c, bkp_c) <= 6 * 1024 * 1024:
                 bkp, bn = bkp_c, bn_c
                 break
         if bkp is not None:

