@@ -84,6 +84,13 @@ def main():
     for kv in ("qint8", "qint4"):
         long_ms = run(8192, kv, bf16_softmax=True)
         log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
+    # Fidelity dials (round 4, VERDICT #5): mixed k8v4 (K int8 + V int4)
+    # and asymmetric int4 (rank-1 shift corrections in attention) — the
+    # speed side of the fidelity-vs-speed table (KL side:
+    # tests/models/test_kv_cache.py::test_kv_cache_kl_ordering).
+    for kv in ("k8v4", "qint4a"):
+        long_ms = run(8192, kv, bf16_softmax=True)
+        log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
 
 
 if __name__ == "__main__":

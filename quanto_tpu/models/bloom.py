@@ -96,12 +96,12 @@ class BloomAttention(nnx.Module):
         fused = _maybe_deq(self.query_key_value(x)).reshape(B, T, H, 3, D)
         q, k, v = fused[..., 0, :], fused[..., 1, :], fused[..., 2, :]
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`).
         # scores = alibi + qk/sqrt(d) (HF baddbmm beta=1, alpha=inv_norm):
         # ALiBi is added AFTER the scale factor, so it rides `head_bias`
@@ -110,7 +110,8 @@ class BloomAttention(nnx.Module):
 
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, D ** -0.5,
-            k_scale=k_scale, v_scale=v_scale, head_bias=alibi,
+            k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift, head_bias=alibi,
         )
         return _maybe_deq(self.dense(out)), new_cache
 
@@ -221,7 +222,7 @@ class BloomForCausalLM(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len,
                 c.num_attention_heads, c.hidden_size // c.num_attention_heads, qt,

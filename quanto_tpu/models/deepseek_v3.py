@@ -304,7 +304,12 @@ class DeepseekV3Attention(nnx.Module):
             new_cache = kv_update(
                 layer_cache, latent[:, :, None, :], k_rot[:, :, None, :], cache_pos
             )
-            lat_raw, rot_raw, lat_s, rot_s = kv_read_raw(new_cache, x.dtype, B)
+            lat_raw, rot_raw, lat_s, rot_s, lat_m, _rot_m = kv_read_raw(new_cache, x.dtype, B)
+            if lat_m is not None:
+                raise NotImplementedError(
+                    "asymmetric KV specs are not supported for the MLA "
+                    "latent cache (use qint8/qint4/k8v4)"
+                )
             c_cache, r_cache = lat_raw[:, :, 0, :], rot_raw[:, :, 0, :]
             s_lat, s_rot = lat_s[:, :, 0, 0], rot_s[:, :, 0, 0]  # [B, S]
         else:
@@ -443,12 +448,17 @@ class DeepseekV3ForCausalLM(nnx.Module):
             # Quantized latent cache: the compressed latent rides the "k"
             # payload, the shared rope key rides "v" (different trailing
             # dims are fine — QKVCacheLayer is shape-agnostic per slot).
-            from ..tensor.kv_cache import QKVCacheLayer
-            from ..tensor.qtype import qtypes
+            from ..tensor.kv_cache import QKVCacheLayer, device_zeros, parse_kv_spec
+            from ..tensor.qtype import qtype as _qtype
 
-            from ..tensor.kv_cache import device_zeros
-
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            spec = kv_quant.name if isinstance(kv_quant, _qtype) else str(kv_quant)
+            k_qt, v_qt, asym = parse_kv_spec(spec)
+            if asym or k_qt is not v_qt:
+                raise NotImplementedError(
+                    "MLA latent cache supports plain symmetric specs only "
+                    "(qint8/qint4/fp8) — the latent is not a per-head K/V"
+                )
+            qt = k_qt
             sdtype = jnp.int4 if (not qt.is_floating_point and qt.bits == 4) else qt.dtype
             return tuple(
                 QKVCacheLayer(

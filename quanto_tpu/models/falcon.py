@@ -155,7 +155,7 @@ class FalconAttention(nnx.Module):
             k = _apply_rope(k, cos, sin)
 
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
@@ -166,7 +166,7 @@ class FalconAttention(nnx.Module):
                 out = try_flash_prefill(q, k, v, Hkv, D)
                 if out is not None:
                     return _maybe_deq(self.dense(out)), new_cache
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         elif causal_ok and alibi is None and T > 1:
             from ..ops.attention import try_flash_prefill
 
@@ -182,7 +182,8 @@ class FalconAttention(nnx.Module):
         q5 = q.reshape(B, T, Hkv, H // Hkv, D)
         out = gqa_attention(
             q5, k, v, mask, D**-0.5,
-            k_scale=k_scale, v_scale=v_scale, alibi=alibi,
+            k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift, alibi=alibi,
         )
         return _maybe_deq(self.dense(out)), new_cache
 
@@ -333,7 +334,7 @@ class FalconForCausalLM(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len, c.effective_kv_heads, c.head_dim, qt
             )

@@ -132,7 +132,7 @@ class Gemma2Attention(nnx.Module):
         k = _apply_rope(k, cos, sin)
 
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
@@ -146,7 +146,7 @@ class Gemma2Attention(nnx.Module):
                 )
                 if out is not None:
                     return _maybe_deq(self.o_proj(out)), new_cache
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         elif causal_ok and T > 1:
             from ..ops.attention import try_flash_prefill
 
@@ -166,7 +166,8 @@ class Gemma2Attention(nnx.Module):
         q5 = q.reshape(B, T, self.num_kv_heads, groups, self.head_dim)
         out = gqa_attention(
             q5, k, v, mask, self.scaling,
-            k_scale=k_scale, v_scale=v_scale, softcap=self.softcap,
+            k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift, softcap=self.softcap,
         )
         return _maybe_deq(self.o_proj(out)), new_cache
 
@@ -291,7 +292,7 @@ class Gemma2ForCausalLM(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len, c.num_key_value_heads, c.head_dim, qt
             )

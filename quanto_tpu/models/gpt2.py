@@ -76,7 +76,7 @@ class GPT2Attention(nnx.Module):
         k = k.reshape(B, T, self.num_heads, self.head_dim)
         v = v.reshape(B, T, self.num_heads, self.head_dim)
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..ops.attention import try_flash_decode
             from ..tensor.kv_cache import kv_read_raw, kv_update
@@ -86,7 +86,7 @@ class GPT2Attention(nnx.Module):
                 out = try_flash_decode(q, new_cache, cache_pos, self.num_heads, self.head_dim)
                 if out is not None:
                     return _maybe_deq(self.c_proj(out)), new_cache
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`):
         # quantized-cache scale factoring + opt-in bf16 softmax chain.
         from ..ops.attention import gqa_attention
@@ -94,6 +94,7 @@ class GPT2Attention(nnx.Module):
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, self.head_dim ** -0.5,
             k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift,
         )
         return _maybe_deq(self.c_proj(out)), new_cache
 
@@ -174,7 +175,7 @@ class GPT2LMHeadModel(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.n_layer, batch, max_len, c.n_head, c.n_embd // c.n_head, qt
             )

@@ -128,12 +128,12 @@ class GPTNeoXAttention(nnx.Module):
         k = _apply_partial_rope(k, cos, sin)
 
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
 
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`):
         # quantized-cache scale factoring + opt-in bf16 softmax chain.
@@ -142,6 +142,7 @@ class GPTNeoXAttention(nnx.Module):
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, D ** -0.5,
             k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift,
         )
         return _maybe_deq(self.dense(out)), new_cache
 
@@ -241,7 +242,7 @@ class GPTNeoXForCausalLM(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len, c.num_attention_heads, c.head_dim, qt
             )

@@ -269,7 +269,7 @@ def init_kv_cache(config: LlamaConfig, batch: int, max_len: int, dtype=None, kv_
         from ..tensor.kv_cache import init_quantized_kv_cache
         from ..tensor.qtype import qtypes
 
-        qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+        qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
         return init_quantized_kv_cache(
             config.num_hidden_layers, batch, max_len,
             config.num_key_value_heads, config.head_dim, qt,
@@ -309,7 +309,7 @@ class LlamaAttention(nnx.Module):
         k = _apply_rope(k, cos, sin)
 
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..ops.attention import static_zero_pos, try_flash_decode, try_flash_prefill
             from ..tensor.kv_cache import kv_read_raw, kv_update
@@ -335,7 +335,7 @@ class LlamaAttention(nnx.Module):
                     if isinstance(out, QArray):
                         out = out.dequantize()
                     return out, new_cache
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         elif T > 1:
             # Cache-less forward ([1,1,T,T] causal mask): same fused path.
             from ..ops.attention import try_flash_prefill
@@ -357,6 +357,7 @@ class LlamaAttention(nnx.Module):
         out = gqa_attention(
             q5, k, v, mask, self.head_dim ** -0.5,
             k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift,
         )
         out = self.o_proj(out)
         if isinstance(out, QArray):

@@ -89,7 +89,7 @@ class OPTAttention(nnx.Module):
         k = _maybe_deq(self.k_proj(x)).reshape(B, T, self.num_heads, self.head_dim)
         v = _maybe_deq(self.v_proj(x)).reshape(B, T, self.num_heads, self.head_dim)
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if layer_cache is not None:
             from ..ops.attention import try_flash_decode
             from ..tensor.kv_cache import kv_read_raw, kv_update
@@ -99,7 +99,7 @@ class OPTAttention(nnx.Module):
                 out = try_flash_decode(q, new_cache, cache_pos, self.num_heads, self.head_dim)
                 if out is not None:
                     return _maybe_deq(self.out_proj(out)), new_cache
-            k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+            k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`):
         # quantized-cache scale factoring + opt-in bf16 softmax chain.
         from ..ops.attention import gqa_attention
@@ -107,6 +107,7 @@ class OPTAttention(nnx.Module):
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, self.head_dim ** -0.5,
             k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift,
         )
         return _maybe_deq(self.out_proj(out)), new_cache
 
@@ -224,7 +225,7 @@ class OPTForCausalLM(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len,
                 c.num_attention_heads, c.hidden_size // c.num_attention_heads, qt,

@@ -264,9 +264,9 @@ class BatchedEngine:
             from ..tensor.kv_cache import QKVCacheLayer
 
             if isinstance(self._cache[0], QKVCacheLayer):
-                from ..tensor.qtype import qtypes
-
-                kv_quant = qtypes[self._cache[0].qtype_name]
+                # qtype_name is a KV SPEC ("qint4", "k8v4", "qint4a", ...);
+                # init_kv_cache/parse_kv_spec accept it verbatim.
+                kv_quant = self._cache[0].qtype_name
             slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
         last_logits, slot_cache = self._prefill_into(slot_cache, prompt)
         self._key, sub = jax.random.split(self._key)

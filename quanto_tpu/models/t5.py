@@ -178,7 +178,7 @@ class T5Attention(nnx.Module):
         H, Dk = self.num_heads, self.d_kv
         q = _maybe_deq(self.q(x)).reshape(B, T, H, Dk)
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if kv_source is not None:
             k, v = kv_source
         else:
@@ -188,7 +188,7 @@ class T5Attention(nnx.Module):
                 from ..tensor.kv_cache import kv_read_raw, kv_update
 
                 new_cache = kv_update(layer_cache, k, v, cache_pos)
-                k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+                k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`).
         # T5: NO 1/sqrt(d) scaling (scale=1.0); the relative position bias
         # is a per-head additive term -> `head_bias`.
@@ -196,7 +196,8 @@ class T5Attention(nnx.Module):
 
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, 1.0,
-            k_scale=k_scale, v_scale=v_scale, head_bias=bias,
+            k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift, head_bias=bias,
         )
         return _maybe_deq(self.o(out)), new_cache
 
@@ -369,7 +370,7 @@ class T5ForConditionalGeneration(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             self_cache = init_quantized_kv_cache(
                 c.num_decoder_layers, B, max_len, c.num_heads, c.d_kv, qt
             )

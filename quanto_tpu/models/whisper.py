@@ -121,7 +121,7 @@ class WhisperAttention(nnx.Module):
         # HF order: scale q right after the projection (float parity).
         q = (_maybe_deq(self.q_proj(x)) * (D**-0.5)).reshape(B, T, H, D)
         new_cache = None
-        k_scale = v_scale = None
+        k_scale = v_scale = k_shift = v_shift = None
         if kv_source is not None:
             k, v = kv_source
         else:
@@ -130,7 +130,7 @@ class WhisperAttention(nnx.Module):
                 from ..tensor.kv_cache import kv_read_raw, kv_update
 
                 new_cache = kv_update(layer_cache, k, v, cache_pos)
-                k, v, k_scale, v_scale = kv_read_raw(new_cache, q.dtype, B)
+                k, v, k_scale, v_scale, k_shift, v_shift = kv_read_raw(new_cache, q.dtype, B)
         # Shared MHA-as-GQA(G=1) chain (`ops/attention.gqa_attention`);
         # q is pre-scaled above (HF parity), so scale=1.0 here.
         from ..ops.attention import gqa_attention
@@ -138,6 +138,7 @@ class WhisperAttention(nnx.Module):
         out = gqa_attention(
             q[:, :, :, None, :], k, v, mask, 1.0,
             k_scale=k_scale, v_scale=v_scale,
+            k_shift=k_shift, v_shift=v_shift,
         )
         return _maybe_deq(self.out_proj(out)), new_cache
 
@@ -263,7 +264,7 @@ class WhisperForConditionalGeneration(nnx.Module):
             from ..tensor.kv_cache import init_quantized_kv_cache
             from ..tensor.qtype import qtypes
 
-            qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+            qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             self_cache = init_quantized_kv_cache(
                 c.decoder_layers, B, max_len, c.decoder_attention_heads,
                 c.d_model // c.decoder_attention_heads, qt,

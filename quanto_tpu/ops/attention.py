@@ -51,6 +51,8 @@ def gqa_attention(
     softcap: Optional[float] = None,
     alibi: Optional[jnp.ndarray] = None,
     head_bias: Optional[jnp.ndarray] = None,
+    k_shift: Optional[jnp.ndarray] = None,
+    v_shift: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Grouped-query attention WITHOUT materializing repeated KV: the
     query-head groups fold into a 5D einsum over shared kv heads (a
@@ -70,6 +72,14 @@ def gqa_attention(
     after the 1/sqrt(d) factor) and t5's relative position bias (which runs
     with scale=1.0) ride this. `mask` may be None (e.g. whisper/t5
     cross-attention over full encoder states).
+
+    `k_shift`/`v_shift` [B, S, Hkv, 1] are the asymmetric-cache per-slot
+    mean shifts (`tensor/kv_cache.parse_kv_spec` "...a" specs): dequant is
+    `data*scale + shift`, and the shift terms stay RANK-1 in the
+    contractions — `q . (k_int*s + m) = (q . k_int)*s + m * sum_d(q)` on
+    the logits, and `sum_s p[s]*(v_int[s]*s + m[s]) = (p*s) @ v_int +
+    (p . m)` broadcast over D on the output — so the payload dots stay
+    integer and no dequantized cache copy is ever materialized.
 
     Returns [B, T, Hkv*G*D] in q5.dtype.
 
@@ -91,6 +101,13 @@ def gqa_attention(
         logits = logits.astype(jnp.bfloat16)  # fuses into the einsum epilogue
     if k_scale is not None:
         logits = logits * _slot_scale_t(k_scale, logits.dtype)
+    if k_shift is not None:
+        # Rank-1 shift term: m_k[s] * sum_d q[b,q,h,g,d].
+        qsum = jnp.sum(q5.astype(jnp.float32), axis=-1)  # [B, T, Hkv, G]
+        qsum = jnp.transpose(qsum, (0, 2, 3, 1))[..., None]  # [B, Hkv, G, T, 1]
+        logits = logits + (qsum * _slot_scale_t(k_shift, jnp.float32)).astype(
+            logits.dtype
+        )
     if alibi is not None:
         logits = logits + alibi.reshape(B, Hkv, G, 1, -1).astype(logits.dtype)
     logits = logits * jnp.asarray(scale, logits.dtype)
@@ -107,16 +124,32 @@ def gqa_attention(
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        raw_p = e
         if v_scale is not None:
             e = e * _slot_scale_t(v_scale, e.dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", e, v, preferred_element_type=jnp.float32)
+        if v_shift is not None:
+            # Rank-1 shift term: (p . m_v) broadcast over D (normalization
+            # below covers it too, since it divides the whole sum).
+            corr = jnp.sum(
+                raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
+                axis=-1,
+            )  # [B, Hkv, G, T]
+            out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None]
         out = (out / jnp.transpose(s, (0, 3, 1, 2, 4))).astype(out_dtype)
     else:
         probs = jax.nn.softmax(logits, axis=-1)
+        raw_p = probs
         if v_scale is not None:
             probs = probs * _slot_scale_t(v_scale, probs.dtype)
         probs = probs.astype(out_dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+        if v_shift is not None:
+            corr = jnp.sum(
+                raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
+                axis=-1,
+            )  # [B, Hkv, G, T]
+            out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None].astype(out.dtype)
     return out.reshape(B, T, Hkv * G * D)
 
 def try_flash_prefill(
@@ -216,12 +249,14 @@ def try_flash_decode(
     num_heads = q.shape[2]
     if isinstance(new_cache, QKVCacheLayer):
         kd, vd = new_cache._k_data, new_cache._v_data
-        if kd.dtype == jnp.int4:
-            # s4 cache: outside the kernels' envelope (they read the payload
-            # directly); the einsum path's fused s4 convert is also the
-            # measured-fastest route (46 us vs 115 int8 at 8B/S=8192,
-            # bench/attn_int8_logits_bench.py).
+        if kd.dtype == jnp.int4 or vd.dtype == jnp.int4:
+            # s4 payloads (incl. mixed k8v4): outside the kernels' envelope
+            # (they read the payload directly); the einsum path's fused s4
+            # convert is also the measured-fastest route (46 us vs 115 int8
+            # at 8B/S=8192, bench/attn_int8_logits_bench.py).
             return None
+        if new_cache._k_shift is not None:
+            return None  # asymmetric specs: rank-1 shift terms live in gqa_attention
         ks, vs = new_cache._k_scale, new_cache._v_scale
     elif isinstance(new_cache, PagedKVLayer):
         if new_cache._k_pages.dtype == jnp.int4:

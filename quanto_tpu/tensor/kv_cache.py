@@ -41,6 +41,7 @@ from .qtype import qtype, qint8
 __all__ = [
     "QKVCacheLayer",
     "init_quantized_kv_cache",
+    "parse_kv_spec",
     "kv_update",
     "kv_read",
     "cache_max_len",
@@ -60,17 +61,52 @@ def cache_max_len(layer_cache) -> int:
 
 @register_qarray
 class QKVCacheLayer:
-    """One layer's quantized KV cache: int8/fp8 payloads + per-slot scales."""
+    """One layer's quantized KV cache: int8/int4/fp8 payloads + per-slot
+    scales (+ optional per-slot mean shifts for the asymmetric variants).
+
+    `qtype_name` is a KV SPEC, not necessarily a plain qtype name — see
+    `parse_kv_spec` ("qint8", "qint4", mixed "k8v4"/"k4v8", asymmetric
+    "qint4a"). Dequantization is `data * scale (+ shift)`; the shift terms
+    stay factorable in attention as rank-1 corrections (see gqa_attention).
+    """
 
     _k_data: jnp.ndarray  # [B, S, H, D] storage dtype
     _k_scale: jnp.ndarray  # [B, S, H, 1] float32
     _v_data: jnp.ndarray
     _v_scale: jnp.ndarray
-    qtype_name: str  # static: qtype name (hashable aux data)
+    qtype_name: str  # static: KV spec name (hashable aux data)
+    _k_shift: jnp.ndarray = None  # [B, S, H, 1] float32 (asym specs only)
+    _v_shift: jnp.ndarray = None
 
 
 def _is_int4(qt: qtype) -> bool:
     return not qt.is_floating_point and qt.bits == 4
+
+
+def parse_kv_spec(name: str):
+    """KV cache spec -> (k_qtype, v_qtype, asymmetric).
+
+    Accepted: any plain qtype name ("qint8", "qint4", "qfloat8_e4m3fn", ...),
+    the mixed-precision pairs "k8v4" / "k4v8" (K int8 + V int4 and vice
+    versa — K error dominates attention fidelity, so k8v4 recovers most of
+    int8's quality at 3/4 of int4+int8's traffic), and an "a" suffix for
+    per-slot asymmetric (mean-shifted) quantization ("qint4a", "k8v4a"):
+    the mean over the head dim is stored per slot and re-applied as rank-1
+    corrections inside attention, halving the effective step for skewed
+    distributions (RoPE'd K heads) at no payload cost.
+    """
+    from .qtype import qtypes
+
+    asym = False
+    base = name
+    if name.endswith("a") and name not in qtypes:
+        asym = True
+        base = name[:-1]
+    if base == "k8v4":
+        return qtypes["qint8"], qtypes["qint4"], asym
+    if base == "k4v8":
+        return qtypes["qint4"], qtypes["qint8"], asym
+    return qtypes[base], qtypes[base], asym
 
 
 def device_zeros(shape, dtype) -> jnp.ndarray:
@@ -92,36 +128,53 @@ def init_quantized_kv_cache(
     max_len: int,
     n_kv_heads: int,
     head_dim: int,
-    qt: qtype = qint8,
+    qt=qint8,
 ) -> Tuple[QKVCacheLayer, ...]:
+    """`qt` is a qtype or a KV spec name (see `parse_kv_spec`)."""
+    spec = qt.name if isinstance(qt, qtype) else str(qt)
+    k_qt, v_qt, asym = parse_kv_spec(spec)
     shape = (batch, max_len, n_kv_heads, head_dim)
     sshape = (batch, max_len, n_kv_heads, 1)
-    sdtype = jnp.int4 if _is_int4(qt) else qt.dtype
+
+    def payload(q):
+        return device_zeros(shape, jnp.int4 if _is_int4(q) else q.dtype)
+
     return tuple(
         QKVCacheLayer(
-            _k_data=device_zeros(shape, sdtype),
+            _k_data=payload(k_qt),
             _k_scale=jnp.ones(sshape, jnp.float32),
-            _v_data=device_zeros(shape, sdtype),
+            _v_data=payload(v_qt),
             _v_scale=jnp.ones(sshape, jnp.float32),
-            qtype_name=qt.name,
+            qtype_name=spec,
+            _k_shift=jnp.zeros(sshape, jnp.float32) if asym else None,
+            _v_shift=jnp.zeros(sshape, jnp.float32) if asym else None,
         )
         for _ in range(n_layers)
     )
 
 
-def _quantize_slot(t: jnp.ndarray, qt: qtype):
-    """Per-(batch, pos, head) symmetric quantization over the head dim."""
+def _quantize_slot(t: jnp.ndarray, qt: qtype, asym: bool = False):
+    """Per-(batch, pos, head) quantization over the head dim.
+
+    Symmetric: `deq = data * scale`, shift returned as None. Asymmetric
+    (`asym=True`): centered on the per-slot mean — `deq = data * scale +
+    shift` — which halves the effective step for skewed head distributions
+    (e.g. RoPE'd K) at the cost of one extra f32 per slot."""
     tf = t.astype(jnp.float32)
+    shift = None
+    if asym:
+        shift = jnp.mean(tf, axis=-1, keepdims=True)
+        tf = tf - shift
     amax = jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax / qt.qmax, 1e-8)
     data = tf / scale
     if not qt.is_floating_point:
         data = jnp.round(data)
     if _is_int4(qt):
-        # Symmetric: stay off -8 so the code range mirrors (+/-7).
-        return jnp.clip(data, -qt.qmax, qt.qmax).astype(jnp.int4), scale
+        # Symmetric code range: stay off -8 so the range mirrors (+/-7).
+        return jnp.clip(data, -qt.qmax, qt.qmax).astype(jnp.int4), scale, shift
     data = jnp.clip(data, qt.qmin, qt.qmax).astype(qt.dtype)
-    return data, scale
+    return data, scale, shift
 
 
 def _update(cache: jnp.ndarray, new: jnp.ndarray, pos) -> jnp.ndarray:
@@ -145,17 +198,21 @@ def kv_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
     if isinstance(layer_cache, PagedKVLayer):
         return paged_update(layer_cache, k, v, pos)
     if isinstance(layer_cache, QKVCacheLayer):
-        from .qtype import qtypes
-
-        qt = qtypes[layer_cache.qtype_name]
-        kd, ks = _quantize_slot(k, qt)
-        vd, vs = _quantize_slot(v, qt)
+        k_qt, v_qt, asym = parse_kv_spec(layer_cache.qtype_name)
+        kd, ks, km = _quantize_slot(k, k_qt, asym)
+        vd, vs, vm = _quantize_slot(v, v_qt, asym)
         return QKVCacheLayer(
             _k_data=_update(layer_cache._k_data, kd, pos),
             _k_scale=_update(layer_cache._k_scale, ks, pos),
             _v_data=_update(layer_cache._v_data, vd, pos),
             _v_scale=_update(layer_cache._v_scale, vs, pos),
             qtype_name=layer_cache.qtype_name,
+            _k_shift=(
+                _update(layer_cache._k_shift, km, pos) if asym else None
+            ),
+            _v_shift=(
+                _update(layer_cache._v_shift, vm, pos) if asym else None
+            ),
         )
     ck, cv = layer_cache
     return (
@@ -168,15 +225,19 @@ def kv_read(layer_cache, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-cache K/V in the compute dtype (materializes the dequantization —
     prefer `kv_read_raw` + scale factoring on the hot path)."""
     if isinstance(layer_cache, QKVCacheLayer):
-        k = (layer_cache._k_data.astype(jnp.float32) * layer_cache._k_scale).astype(dtype)
-        v = (layer_cache._v_data.astype(jnp.float32) * layer_cache._v_scale).astype(dtype)
-        return k, v
+        k = layer_cache._k_data.astype(jnp.float32) * layer_cache._k_scale
+        v = layer_cache._v_data.astype(jnp.float32) * layer_cache._v_scale
+        if layer_cache._k_shift is not None:
+            k = k + layer_cache._k_shift
+            v = v + layer_cache._v_shift
+        return k.astype(dtype), v.astype(dtype)
     ck, cv = layer_cache
     return ck.astype(dtype), cv.astype(dtype)
 
 
 def kv_read_raw(layer_cache, dtype, batch: int = None):
-    """(k, v, k_scale, v_scale) with scales None for float caches.
+    """(k, v, k_scale, v_scale, k_shift, v_shift) — scales/shifts are None
+    for float caches, shifts are None for the symmetric specs.
     For paged caches, `batch` selects slots 0..batch-1 (dense gathered view).
 
     For quantized caches the payloads are returned as `dtype` WITHOUT the
@@ -193,13 +254,15 @@ def kv_read_raw(layer_cache, dtype, batch: int = None):
     from .paged_kv import PagedKVLayer, paged_read_raw
 
     if isinstance(layer_cache, PagedKVLayer):
-        return paged_read_raw(layer_cache, batch, dtype)
+        return paged_read_raw(layer_cache, batch, dtype) + (None, None)
     if isinstance(layer_cache, QKVCacheLayer):
         return (
             layer_cache._k_data.astype(dtype),
             layer_cache._v_data.astype(dtype),
             layer_cache._k_scale,
             layer_cache._v_scale,
+            layer_cache._k_shift,
+            layer_cache._v_shift,
         )
     ck, cv = layer_cache
-    return ck.astype(dtype), cv.astype(dtype), None, None
+    return ck.astype(dtype), cv.astype(dtype), None, None, None, None

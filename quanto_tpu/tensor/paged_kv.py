@@ -122,8 +122,8 @@ def paged_update(layer: PagedKVLayer, k: jnp.ndarray, v: jnp.ndarray, pos) -> Pa
         from .kv_cache import _quantize_slot
 
         qt = qtypes[layer.qtype_name]
-        kd, ks = _quantize_slot(k, qt)
-        vd, vs = _quantize_slot(v, qt)
+        kd, ks, _ = _quantize_slot(k, qt)
+        vd, vs, _ = _quantize_slot(v, qt)
     else:
         kd, vd = k, v
         ks = vs = None
