@@ -40,6 +40,13 @@ def main():
         help="prefill chunk for the batched-prefill run (B*chunk > 512 engages "
         "the tiled prefill kernel; serial runs keep chunk=64)",
     )
+    p.add_argument("--bf16-softmax", action="store_true",
+                   help="enable the bf16 attention softmax chain for the "
+                   "whole run (the recommended long-context serving config "
+                   "pairs it with --kv qint4)")
+    p.add_argument("--long-ctx", action="store_true",
+                   help="8B long-context serving slice: prompts 3.3-4k "
+                   "tokens, max_len 4352 (the north-star serving regime)")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
@@ -49,10 +56,14 @@ def main():
         config = LlamaConfig(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,
             num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
-            max_position_embeddings=4096, rope_theta=500000.0, dtype=jnp.bfloat16,
+            max_position_embeddings=8192, rope_theta=500000.0, dtype=jnp.bfloat16,
         )
-        prompt_lens = [512, 384, 448, 256, 512, 320, 192, 448][: args.batch]
-        max_len = 768
+        if args.long_ctx:
+            prompt_lens = [4096, 3328, 3840, 3584, 4096, 3456, 3200, 3968][: args.batch]
+            max_len = 4352
+        else:
+            prompt_lens = [512, 384, 448, 256, 512, 320, 192, 448][: args.batch]
+            max_len = 768
     elif on_tpu:
         config = LlamaConfig(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -96,6 +107,10 @@ def main():
         qt.freeze(model)
 
     kv_quant = None if args.kv == "bf16" else args.kv
+    if args.bf16_softmax:
+        from quanto_tpu.ops import config as _ops_config
+
+        _ops_config.set_backend(bf16_softmax=True)
     rng = np.random.RandomState(0)
     prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
 

@@ -461,8 +461,14 @@ class StackedSparseMoeBlock(nnx.Module):
                 if d is not None:
                     w = top_p.reshape(S * K, 1)
                     out = (w * d).reshape(S, K, H).sum(axis=1)
-        if out is None and cap >= S:
-            # ALL-EXPERTS (decode fallback): dense-mask math, copy-free.
+        if out is None and (cap >= S or S <= 32):
+            # ALL-EXPERTS (decode/small-batch): dense-mask math, copy-free.
+            # Taken whenever capacity covers every token OR the batch is too
+            # small for the capacity-gather prefill path to win (at small S
+            # every expert streams once either way, and tiny per-expert M
+            # falls off the prefill kernel's tile envelope — round-4 bench:
+            # B=4 routed to the XLA stacked-slice fallback at 32 ms/step vs
+            # 12.6 for this path).
             pad = -S % 8
             xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
             g3 = self._mm("all", xp, self.proj_gate)
