@@ -523,11 +523,14 @@ class StackedSparseMoeBlock(nnx.Module):
 def _convert_moe(model, make_block) -> int:
     from ..models.mixtral import MixtralSparseMoeBlock
     from ..models.qwen2_moe import Qwen2MoeSparseBlock
+    from ..models.qwen3 import Qwen3MoeSparseBlock
 
     converted = 0
     seen = set()
     for path, node in list(nnx.iter_graph(model)):
-        if not isinstance(node, (MixtralSparseMoeBlock, Qwen2MoeSparseBlock)):
+        if not isinstance(
+            node, (MixtralSparseMoeBlock, Qwen2MoeSparseBlock, Qwen3MoeSparseBlock)
+        ):
             continue
         if id(node) in seen:
             continue

@@ -113,6 +113,29 @@ def test_jit_and_converter():
     )
 
 
+def test_qwen3_moe_converter():
+    from quanto_tpu.models.qwen3 import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = Qwen3MoeConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        moe_intermediate_size=256, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=64, dtype=jnp.float32,
+        num_experts=4, num_experts_per_tok=2,
+    )
+    model = Qwen3MoeForCausalLM(cfg, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(model)
+    finally:
+        ops_config.set_backend()
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 5)), jnp.int32)
+    ref, _ = model(ids)
+    assert convert_moe_to_stacked(model) == 2
+    out, _ = model(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+
+
 def test_requires_frozen_subbyte():
     block, _ = _block_and_input(1, 1)
     float_block = MixtralSparseMoeBlock(
