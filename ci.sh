@@ -10,4 +10,4 @@ cd "$(dirname "$0")"
 # a single test exceeds 5 min, and max-worker-restart converts repeated
 # worker crashes into a failed run instead of an infinite wait.
 python -m pytest tests/ -q -n "${PYTEST_WORKERS:-auto}" --dist loadfile \
-  --faulthandler-timeout=300 --max-worker-restart=2 "$@"
+  -o faulthandler_timeout=300 --max-worker-restart=2 "$@"

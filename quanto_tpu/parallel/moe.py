@@ -236,26 +236,75 @@ class EPSparseMoeBlock(nnx.Module):
             for ls in leaves
         )
 
-        def dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
+        def kernel_dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
+            """Per-shard stacked-kernel path (`ops/pallas/moe_mm`): the local
+            expert index lives inside the Pallas grid, so no `data[j]` XLA
+            slices (each of which materializes an HBM copy of the expert's
+            weights before the per-expert pallas call — the round-3 2.5x
+            decode regression, here avoided for EP exactly as for the
+            single-device StackedSparseMoeBlock). Returns None when any
+            projection is off the kernel envelope (caller loops instead)."""
+            from ..ops import config as ops_config
+            from ..ops.pallas import moe_mm
+
+            if any(p.kind != "qbits_tpu" for p in projs):
+                return None
+            interp = ops_config.pallas_interpret()
+
+            def mm(kind, xv, proj, ls):
+                kw = dict(k_shards=getattr(proj, "k_shards", 1), interpret=interp)
+                f = moe_mm.qbits_moe_all_call if kind == "all" else moe_mm.qbits_moe_prefill_call
+                return f(xv, *ls, proj.qtype.bits, proj.group_size, **kw)
+
+            if cap >= S:
+                pad = -S % 8
+                xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
+                g3 = mm("all", xp, projs[0], g_leaves)
+                u3 = mm("all", xp, projs[1], u_leaves) if g3 is not None else None
+                if u3 is None:
+                    return None
+                h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)
+                d3 = mm("prefill", h3, projs[2], d_leaves)
+                if d3 is None:
+                    return None
+                d3 = d3[:, :S, :] if pad else d3
+                return jnp.einsum("esh,se->sh", d3, maskf.astype(jnp.float32))
+            top_v, idx = jax.lax.top_k(maskf.T, cap)  # [local_e, cap]
+            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(local_e, cap, H)
+            g3 = mm("prefill", xg, projs[0], g_leaves)
+            u3 = mm("prefill", xg, projs[1], u_leaves) if g3 is not None else None
+            if u3 is None:
+                return None
+            h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)
+            d3 = mm("prefill", h3, projs[2], d_leaves)
+            if d3 is None:
+                return None
             acc = jnp.zeros((S, H), jnp.float32)
             for j in range(local_e):
-                w_col = maskf[:, j]  # local expert j's routing weights
-                if cap >= S:
-                    # Capacity covers every token (decode/small batches after
-                    # sublane rounding): gather/scatter is pure overhead
-                    # (measured 2.6x the dense-mask step at B=8 decode,
-                    # bench/moe_bench.py) — run the expert on all tokens,
-                    # zero-weighted where unrouted. Exact.
-                    h = jax.nn.silu(projs[0].apply(xf, g_leaves, j)) * projs[1].apply(xf, u_leaves, j)
+                acc = acc.at[idx[j]].add(top_v[j][:, None] * d3[j])
+            return acc
+
+        def dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
+            acc = kernel_dispatch(xf, maskf, g_leaves, u_leaves, d_leaves)
+            if acc is None:
+                acc = jnp.zeros((S, H), jnp.float32)
+                for j in range(local_e):
+                    w_col = maskf[:, j]  # local expert j's routing weights
+                    if cap >= S:
+                        # Capacity covers every token (decode/small batches
+                        # after sublane rounding): gather/scatter is pure
+                        # overhead — run the expert on all tokens,
+                        # zero-weighted where unrouted. Exact.
+                        h = jax.nn.silu(projs[0].apply(xf, g_leaves, j)) * projs[1].apply(xf, u_leaves, j)
+                        y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
+                        acc = acc + w_col[:, None] * y.astype(jnp.float32)
+                        continue
+                    top_v, idx = jax.lax.top_k(w_col, cap)
+                    xg = jnp.take(xf, idx, axis=0)
+                    h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
                     y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
-                    acc = acc + w_col[:, None] * y.astype(jnp.float32)
-                    continue
-                top_v, idx = jax.lax.top_k(w_col, cap)
-                xg = jnp.take(xf, idx, axis=0)
-                h = jax.nn.silu(projs[0].apply(xg, g_leaves, j)) * projs[1].apply(xg, u_leaves, j)
-                y = projs[2].apply(h.astype(x.dtype), d_leaves, j)
-                acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
-            return jax.lax.psum(acc, self.ep_axis)
+                    acc = acc.at[idx].add(top_v[:, None] * y.astype(jnp.float32))
+            return jax.lax.psum(acc.astype(jnp.float32), self.ep_axis)
 
         out = jax.shard_map(
             dispatch,
@@ -263,6 +312,7 @@ class EPSparseMoeBlock(nnx.Module):
             in_specs=(P(), P(None, self.ep_axis)) + leaf_specs,
             out_specs=P(),
             axis_names={self.ep_axis},
+            check_vma=False,  # pallas out_shapes carry no vma annotation
         )(xf, maskf, *leaves)
         out = out.astype(x.dtype).reshape(B, T, H)
 

@@ -164,3 +164,38 @@ def test_ep_requires_divisible_experts():
     block.num_experts = 6
     with pytest.raises(ValueError):
         EPSparseMoeBlock(block, mesh)
+
+
+def test_ep_block_kernel_dispatch_qbits():
+    """With pallas-frozen sub-byte experts the dispatch routes through the
+    stacked MoE kernels (`ops/pallas/moe_mm`, interpret mode here) INSIDE
+    shard_map — the expert index lives in the kernel grid, no per-expert
+    XLA slices. Exact vs dense-mask at capacity_factor=None; both the
+    all-experts (cap >= S) and capacity-gather (cap < S) branches."""
+    from quanto_tpu.ops import config as ops_config
+
+    config = _mixtral_config(hidden_size=256, intermediate_size=256)
+    block = MixtralSparseMoeBlock(config, rngs=nnx.Rngs(0))
+    qt.quantize(block, weights="qint4")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(block)
+    finally:
+        ops_config.set_backend()
+    mesh = make_mesh({"ep": 8})
+    # cap >= S branch (B=1, T=8 -> S=8, cf=None -> cap=8)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 256) * 0.3, jnp.float32)
+    ref = block(x)
+    ep_block = EPSparseMoeBlock(block, mesh, capacity_factor=None)
+    assert ep_block.proj_gate.kind == "qbits_tpu"
+    np.testing.assert_allclose(
+        np.asarray(ep_block(x)), np.asarray(ref), atol=2e-3, rtol=2e-3
+    )
+    # cap < S branch (S=64, cf=2.0 -> cap=32)
+    x2 = jnp.asarray(np.random.RandomState(1).randn(2, 32, 256) * 0.3, jnp.float32)
+    ref2 = block(x2)
+    ep2 = EPSparseMoeBlock(block, mesh, capacity_factor=2.0)
+    assert ep2._capacity(64) < 64
+    a, b = np.asarray(ep2(x2)).ravel(), np.asarray(ref2).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.95, cos
