@@ -94,25 +94,31 @@ def _sel_call(x_pad, eids, packed3, scale3, shift3, *, bits, group_size, k_shard
     kernel = functools.partial(
         _moe_sel_kernel, bits=bits, group_size=group_size, k_shards=k_shards
     )
+    # Grid order (j, i) with the PAIR index innermost: callers sort pairs by
+    # expert id, so consecutive i steps at a fixed j revisit the SAME weight
+    # block whenever two pairs share an expert — the Mosaic pipeline skips
+    # the re-fetch when the next block indices equal the current ones, which
+    # dedups duplicate-expert streaming for free (e.g. B=4 top-2 of 8:
+    # 8 pairs but typically only 5-7 distinct experts streamed).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nsel, N // bn),
+        grid=(N // bn, nsel),
         in_specs=[
-            pl.BlockSpec((P, K), lambda i, j, eids: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, K), lambda j, i, eids: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, bn, Kpacked), lambda i, j, eids: (eids[i], j, 0),
+                (1, bn, Kpacked), lambda j, i, eids: (eids[i], j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, G, bn), lambda i, j, eids: (eids[i], 0, j),
+                (1, G, bn), lambda j, i, eids: (eids[i], 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, G, bn), lambda i, j, eids: (eids[i], 0, j),
+                (1, G, bn), lambda j, i, eids: (eids[i], 0, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, P, bn), lambda i, j, eids: (i, 0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, P, bn), lambda j, i, eids: (i, 0, j), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
@@ -120,7 +126,7 @@ def _sel_call(x_pad, eids, packed3, scale3, shift3, *, bits, group_size, k_shard
         out_shape=jax.ShapeDtypeStruct((nsel, P, N), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * nsel * P * N * K,

@@ -501,14 +501,28 @@ class StackedSparseMoeBlock(nnx.Module):
             # SELECTIVE: stream only the routed experts (<= 8 pairs — the
             # kernel computes 8 padded rows per pair, free under the
             # streaming bound; larger fan-outs lose the quadratic trade).
+            # Pairs are SORTED by expert id so duplicate experts sit on
+            # adjacent innermost grid steps. NOTE (measured, round 4): the
+            # Mosaic pipeline does NOT skip re-fetches for equal block
+            # indices under scalar-prefetched index maps (1-unique vs
+            # 8-unique eids differ by only 6% at the gate/up shape), so
+            # duplicates still stream — which is why the gate stays STRICT
+            # (S*K < E): at S*K == E the all-experts path below streams the
+            # same expert count with zero duplicates. The sort stays: it is
+            # ~free and becomes a win if Mosaic learns the runtime skip.
             x_sel = jnp.repeat(xf, K, axis=0)  # [S*K, H]
             eids = top_i.reshape(S * K)
-            g = self._mm("sel", x_sel, self.proj_gate, eids)
-            u = self._mm("sel", x_sel, self.proj_up, eids) if g is not None else None
+            order = jnp.argsort(eids)
+            inv = jnp.argsort(order)
+            x_sel = jnp.take(x_sel, order, axis=0)
+            eids_s = jnp.take(eids, order)
+            g = self._mm("sel", x_sel, self.proj_gate, eids_s)
+            u = self._mm("sel", x_sel, self.proj_up, eids_s) if g is not None else None
             if u is not None:
                 h = (jax.nn.silu(g) * u).astype(x.dtype)
-                d = self._mm("sel", h, self.proj_down, eids)
+                d = self._mm("sel", h, self.proj_down, eids_s)
                 if d is not None:
+                    d = jnp.take(d, inv, axis=0)  # back to pair order
                     w = top_p.reshape(S * K, 1)
                     out = (w * d).reshape(S, K, H).sum(axis=1)
         if out is None and (cap >= S or S <= 32):
