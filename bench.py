@@ -272,7 +272,10 @@ def main_longctx8b():
     graphdef, state = nnx.split(model)
 
     def run(kv_quant, bf16_softmax, tag):
-        ops_config.set_backend(bf16_softmax=bf16_softmax or None)
+        # Explicit boolean: None would mean "auto/env", and an inherited
+        # QUANTO_TPU_BF16_SOFTMAX=1 would silently apply the lever to the
+        # f32-softmax BASELINE and corrupt vs_baseline.
+        ops_config.set_backend(bf16_softmax=bool(bf16_softmax))
         try:
             decode = make_decode_fn(graphdef, new)
             cache = init_kv_cache(cfg, B, ctx, kv_quant=kv_quant)

@@ -53,7 +53,9 @@ def main():
     B, new = 4, 32
 
     def run(ctx, kv_quant, bf16_softmax=False):
-        ops_config.set_backend(bf16_softmax=bf16_softmax or None)
+        # Explicit boolean: None means "auto/env" and an inherited
+        # QUANTO_TPU_BF16_SOFTMAX=1 would taint the f32 baseline arms.
+        ops_config.set_backend(bf16_softmax=bool(bf16_softmax))
         try:
             decode = make_decode_fn(graphdef, new)
             cache = init_kv_cache(cfg, B, ctx, kv_quant=kv_quant)

@@ -173,8 +173,6 @@ class GPT2LMHeadModel(nnx.Module):
         c = self.config
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
-            from ..tensor.qtype import qtypes
-
             qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.n_layer, batch, max_len, c.n_head, c.n_embd // c.n_head, qt

@@ -267,8 +267,6 @@ def init_kv_cache(config: LlamaConfig, batch: int, max_len: int, dtype=None, kv_
     (int8/fp8 cache — halves decode HBM traffic at long context)."""
     if kv_quant is not None:
         from ..tensor.kv_cache import init_quantized_kv_cache
-        from ..tensor.qtype import qtypes
-
         qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
         return init_quantized_kv_cache(
             config.num_hidden_layers, batch, max_len,

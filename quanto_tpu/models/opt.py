@@ -223,8 +223,6 @@ class OPTForCausalLM(nnx.Module):
         c = self.config
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
-            from ..tensor.qtype import qtypes
-
             qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             return init_quantized_kv_cache(
                 c.num_hidden_layers, batch, max_len,

@@ -368,8 +368,6 @@ class T5ForConditionalGeneration(nnx.Module):
             enc_bias = jnp.where(enc_mask[:, None, None, :], 0.0, jnp.finfo(jnp.float32).min)
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
-            from ..tensor.qtype import qtypes
-
             qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             self_cache = init_quantized_kv_cache(
                 c.num_decoder_layers, B, max_len, c.num_heads, c.d_kv, qt

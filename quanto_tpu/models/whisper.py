@@ -262,8 +262,6 @@ class WhisperForConditionalGeneration(nnx.Module):
         )
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
-            from ..tensor.qtype import qtypes
-
             qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
             self_cache = init_quantized_kv_cache(
                 c.decoder_layers, B, max_len, c.decoder_attention_heads,

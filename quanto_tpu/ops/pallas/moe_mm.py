@@ -228,11 +228,13 @@ def qbits_moe_all_call(
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """out[e] = x @ dequant(W[e]).T for every expert — the dense-mask decode
-    math over the stacked array, copy-free. x [S, K] (S a multiple of 8);
-    returns [E, S, N] f32 or None."""
+    math over the stacked array, copy-free. x [S, K] (S a multiple of 8,
+    bounded like the decode kernel's _MAX_M: x and the [1, S, bn] out block
+    are VMEM-resident, so large S must go through the M-tiled
+    `qbits_moe_prefill_call` instead); returns [E, S, N] f32 or None."""
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return None
-    if x.shape[0] % 8:
+    if x.shape[0] % 8 or x.shape[0] > 512:
         return None
     if not _stacked_ok(x, packed3, bits, group_size, k_shards):
         return None

@@ -256,7 +256,9 @@ class EPSparseMoeBlock(nnx.Module):
                 f = moe_mm.qbits_moe_all_call if kind == "all" else moe_mm.qbits_moe_prefill_call
                 return f(xv, *ls, proj.qtype.bits, proj.group_size, **kw)
 
-            if cap >= S:
+            if S <= 512 and (cap >= S or S <= 32):
+                # All-experts branch is VMEM-resident (see the stacked
+                # block): bounded S only; bigger S takes the tiled gather.
                 pad = -S % 8
                 xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
                 g3 = mm("all", xp, projs[0], g_leaves)
@@ -269,8 +271,14 @@ class EPSparseMoeBlock(nnx.Module):
                     return None
                 d3 = d3[:, :S, :] if pad else d3
                 return jnp.einsum("esh,se->sh", d3, maskf.astype(jnp.float32))
-            top_v, idx = jax.lax.top_k(maskf.T, cap)  # [local_e, cap]
-            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(local_e, cap, H)
+            cap_g = min(cap, S)
+            top_v, idx = jax.lax.top_k(maskf.T, cap_g)  # [local_e, cap_g]
+            rpad = -cap_g % 8
+            if rpad:
+                idx = jnp.pad(idx, ((0, 0), (0, rpad)))
+                top_v = jnp.pad(top_v, ((0, 0), (0, rpad)))
+                cap_g += rpad
+            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(local_e, cap_g, H)
             g3 = mm("prefill", xg, projs[0], g_leaves)
             u3 = mm("prefill", xg, projs[1], u_leaves) if g3 is not None else None
             if u3 is None:
@@ -525,14 +533,17 @@ class StackedSparseMoeBlock(nnx.Module):
                     d = jnp.take(d, inv, axis=0)  # back to pair order
                     w = top_p.reshape(S * K, 1)
                     out = (w * d).reshape(S, K, H).sum(axis=1)
-        if out is None and (cap >= S or S <= 32):
+        if out is None and S <= 512 and (cap >= S or S <= 32):
             # ALL-EXPERTS (decode/small-batch): dense-mask math, copy-free.
             # Taken whenever capacity covers every token OR the batch is too
             # small for the capacity-gather prefill path to win (at small S
             # every expert streams once either way, and tiny per-expert M
             # falls off the prefill kernel's tile envelope — round-4 bench:
             # B=4 routed to the XLA stacked-slice fallback at 32 ms/step vs
-            # 12.6 for this path).
+            # 12.6 for this path). S is bounded: the all-experts kernel
+            # holds x and an [S, bn] out block VMEM-resident (decode-kernel
+            # style); larger S — incl. capacity_factor=None exact prefill,
+            # where cap == S — goes through the M-TILED gather branch below.
             pad = -S % 8
             xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
             g3 = self._mm("all", xp, self.proj_gate)
@@ -549,14 +560,24 @@ class StackedSparseMoeBlock(nnx.Module):
                     ).reshape(S, E)  # [S, E]
                     d3 = d3[:, :S, :] if pad else d3
                     out = jnp.einsum("esh,se->sh", d3, mask).astype(x.dtype)
-        if out is None and cap < S:
-            # CAPACITY GATHER prefill through the batched-expert kernel.
+        if out is None:
+            # CAPACITY GATHER through the M-tiled batched-expert kernel.
+            # cap_g == S (cf=None or sublane-rounded coverage) gathers every
+            # token per expert — exact, and the kernel tiles M so any S
+            # works; rows are padded to the sublane multiple with zero
+            # routing weight (contributes nothing to the scatter-add).
+            cap_g = min(cap, S)
             mask = jnp.sum(
                 jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
                 axis=-2,
             ).reshape(S, E)
-            top_v, idx = jax.lax.top_k(mask.T, cap)  # [E, cap]
-            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(E, cap, H)
+            top_v, idx = jax.lax.top_k(mask.T, cap_g)  # [E, cap_g]
+            rpad = -cap_g % 8
+            if rpad:
+                idx = jnp.pad(idx, ((0, 0), (0, rpad)))
+                top_v = jnp.pad(top_v, ((0, 0), (0, rpad)))
+                cap_g += rpad
+            xg = jnp.take(xf, idx.reshape(-1), axis=0).reshape(E, cap_g, H)
             g3 = self._mm("prefill", xg, self.proj_gate)
             u3 = self._mm("prefill", xg, self.proj_up) if g3 is not None else None
             if u3 is not None:

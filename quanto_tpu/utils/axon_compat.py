@@ -50,7 +50,7 @@ def _axon_runtime_active() -> bool:
     """
     env = os.environ.get("QUANTO_TPU_AXON_SHIM")
     if env is not None:
-        return env not in ("0", "false", "False")
+        return env.lower() in ("1", "true", "yes", "on")
     try:
         from jax._src import xla_bridge as xb
 
