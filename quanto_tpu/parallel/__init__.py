@@ -1,5 +1,6 @@
 from .distributed import global_mesh, initialize
 from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
+from .pipeline import PipelinedLlama, pipeline_model
 from .moe import (
     EPSparseMoeBlock,
     GatheredSparseMoeBlock,
