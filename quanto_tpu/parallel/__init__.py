@@ -1,5 +1,6 @@
 from .distributed import global_mesh, initialize
 from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
+from .context import cp_decode_attention, cp_gqa_attention, shard_cache_seq
 from .pipeline import PipelinedLlama, pipeline_model
 from .moe import (
     EPSparseMoeBlock,

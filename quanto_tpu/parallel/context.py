@@ -1,0 +1,159 @@
+"""Context (sequence) parallelism: KV sharded along S over an ``"sp"`` axis.
+
+Long-context decode is KV-cache-bandwidth-bound; once a sequence's cache
+outgrows one chip's HBM (or its streaming budget), the TPU-native scale-out
+is to shard the CACHE along the sequence dimension and combine attention
+with a DISTRIBUTED online softmax — each shard computes logits against its
+own S/sp keys, and two tiny collectives (`pmax` of the running max, `psum`
+of the exp-sum and the value-weighted numerator) produce the exact softmax
+result. No ring pipeline needed at decode (T=1): the collectives move
+[B, H, T]-sized statistics and one [B, T, H, D] numerator, never the cache.
+
+The reference has nothing like this (no attention management at all,
+SURVEY.md §5.7); the sp axis completes dp/tp/ep/pp.
+
+Works with the quantized cache exactly like `ops/attention.gqa_attention`:
+int8/s4 payload shards dequantize inside the einsum operand read, per-slot
+scales factor out of the contractions (k_scale on the local logits, v_scale
+on the local probabilities).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+__all__ = ["cp_gqa_attention", "shard_cache_seq", "cp_decode_attention"]
+
+
+def _slot_scale_t(s, dtype):
+    return jnp.transpose(s[..., 0], (0, 2, 1))[:, :, None, None, :].astype(dtype)
+
+
+def cp_gqa_attention(
+    q5: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    scale: float,
+    axis: str,
+    *,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sequence-sharded grouped-query attention (call INSIDE shard_map).
+
+    q5 [B, T, Hkv, G, D] replicated; k/v [B, S/sp, Hkv, D] (this shard's
+    keys/values, any storage dtype); mask [B or 1, 1, T, S/sp] additive for
+    this shard's key positions; per-slot scales sharded with the cache.
+    Returns the EXACT softmax attention output [B, T, Hkv*G*D], replicated.
+    """
+    B, T, Hkv, G, D = q5.shape
+    out_dtype = q5.dtype
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", q5, k, preferred_element_type=jnp.float32
+    )
+    if k_scale is not None:
+        logits = logits * _slot_scale_t(k_scale, logits.dtype)
+    logits = logits * jnp.asarray(scale, logits.dtype)
+    if mask is not None:
+        logits = logits + mask[:, :, None].astype(logits.dtype)
+    # Distributed online softmax: global max -> local exp -> psum of the
+    # normalizer and of the value-weighted numerator.
+    m = lax.pmax(jnp.max(logits, axis=-1, keepdims=True), axis)
+    e = jnp.exp(logits - m)
+    den = lax.psum(jnp.sum(e, axis=-1, keepdims=True), axis)  # [B,Hkv,G,T,1]
+    if v_scale is not None:
+        e = e * _slot_scale_t(v_scale, e.dtype)
+    num = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", e, v, preferred_element_type=jnp.float32
+    )
+    num = lax.psum(num, axis)
+    out = num / jnp.transpose(den, (0, 3, 1, 2, 4))
+    return out.astype(out_dtype).reshape(B, T, Hkv * G * D)
+
+
+def shard_cache_seq(layer_cache, mesh: Mesh, axis: str = "sp"):
+    """Shard one layer's KV cache along the SEQUENCE dim over mesh[axis].
+
+    Accepts the float tuple `(k, v)` ([B, S, H, D]) or a quantized
+    `QKVCacheLayer` (payloads + per-slot scales all carry S in dim 1).
+    """
+    from ..tensor.kv_cache import QKVCacheLayer
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(None, axis, *([None] * (a.ndim - 2))))
+        )
+
+    if isinstance(layer_cache, QKVCacheLayer):
+        return jax.tree_util.tree_map(put, layer_cache)
+    ck, cv = layer_cache
+    return put(ck), put(cv)
+
+
+def cp_decode_attention(
+    q5: jnp.ndarray,
+    layer_cache,
+    lengths: jnp.ndarray,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+) -> jnp.ndarray:
+    """Decode-step attention over a sequence-sharded cache (host-level API).
+
+    q5 [B, 1, Hkv, G, D] replicated; `layer_cache` sharded by
+    `shard_cache_seq`; `lengths` [B] valid key counts (global positions
+    < lengths attend). Builds the per-shard validity mask from each shard's
+    global key offsets and runs `cp_gqa_attention` under shard_map.
+    """
+    from ..tensor.kv_cache import QKVCacheLayer
+
+    sp = mesh.shape[axis]
+    if isinstance(layer_cache, QKVCacheLayer):
+        S = layer_cache._k_data.shape[1]
+        operands = (
+            layer_cache._k_data, layer_cache._v_data,
+            layer_cache._k_scale, layer_cache._v_scale,
+        )
+        quantized = True
+    else:
+        ck, cv = layer_cache
+        S = ck.shape[1]
+        operands = (ck, cv)
+        quantized = False
+    S_loc = S // sp
+
+    def body(q5, lengths, *ops):
+        shard = lax.axis_index(axis)
+        k_pos = shard * S_loc + jnp.arange(S_loc)  # global key positions
+        mask = jnp.where(
+            k_pos[None, None, None, :] < lengths[:, None, None, None],
+            0.0,
+            jnp.finfo(jnp.float32).min,
+        )
+        if quantized:
+            kd, vd, ks, vs = ops
+            return cp_gqa_attention(
+                q5, kd.astype(q5.dtype), vd.astype(q5.dtype), mask, scale,
+                axis, k_scale=ks, v_scale=vs,
+            )
+        ck, cv = ops
+        return cp_gqa_attention(
+            q5, ck.astype(q5.dtype), cv.astype(q5.dtype), mask, scale, axis
+        )
+
+    seq_spec = P(None, axis)
+    op_specs = tuple(P(None, axis, *([None] * (o.ndim - 2))) for o in operands)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P()) + op_specs,
+        out_specs=P(),
+        check_vma=False,
+    )(q5, lengths, *operands)
