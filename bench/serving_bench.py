@@ -47,11 +47,18 @@ def main():
     p.add_argument("--long-ctx", action="store_true",
                    help="8B long-context serving slice: prompts 3.3-4k "
                    "tokens, max_len 4352 (the north-star serving regime)")
+    p.add_argument("--moe", action="store_true",
+                   help="13.6B-total Mixtral-shaped MoE through the "
+                   "stacked-expert kernel dispatch instead of the dense "
+                   "llama — run with --batch 1/2 for the "
+                   "selective-streaming decode regime")
     args = p.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     on_tpu = jax.default_backend() == "tpu"
+    if args.moe:
+        return main_moe(args, on_tpu)
     if on_tpu and args.model == "8b":
         config = LlamaConfig(
             vocab_size=128256, hidden_size=4096, intermediate_size=14336,
@@ -157,6 +164,81 @@ def main():
     if args.stepwise:
         print(f"burst speedup over stepwise decode: {burst_tps/step_tps:.2f}x")
     print(f"batched-prefill e2e speedup over serial prefill: {e2e_batched/e2e_serial:.2f}x")
+
+
+def main_moe(args, on_tpu):
+    """MoE serving: the 13.6B-total Mixtral shape (bench/moe_bench.py) drains
+    through the continuous-batching engine with stacked-expert kernel
+    dispatch. At --batch 1/2 each decode step streams only the routed
+    experts (RESULTS.md round-4 MoE table: 2.31x/1.62x over dense-mask)."""
+    import time as _time
+
+    from quanto_tpu.models.mixtral import MixtralConfig, MixtralForCausalLM
+    from quanto_tpu.ops import config as ops_config
+    from quanto_tpu.parallel import convert_moe_to_stacked
+
+    if on_tpu:
+        config = MixtralConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=8192,
+            num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+            max_position_embeddings=4096, num_local_experts=8,
+            num_experts_per_tok=2, dtype=jnp.bfloat16,
+        )
+        prompt_lens = [512, 384, 448, 256, 512, 320, 192, 448][: args.batch]
+        max_len = 768
+    else:
+        config = MixtralConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, num_local_experts=4,
+            num_experts_per_tok=2, dtype=jnp.float32,
+        )
+        prompt_lens = [16, 24][: args.batch]
+        max_len = 64
+
+    print(f"building MoE ({'13.6B' if on_tpu else 'tiny'}) on host...", flush=True)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        model = MixtralForCausalLM(config, rngs=nnx.Rngs(0))
+        qt.quantize(model, weights="qint4", exclude="lm_head")
+        # Force the TPU kernel layout even on CPU hosts (interpret-mode
+        # kernels): the stacked dispatch requires WeightQBitsTpuArray.
+        ops_config.set_backend(pallas_qbits=True)
+        try:
+            qt.freeze(model)
+        finally:
+            ops_config.set_backend()
+        n = convert_moe_to_stacked(model, capacity_factor=2.0)
+        print(f"converted {n} blocks to stacked-kernel dispatch", flush=True)
+    dev = jax.devices()[0]
+    for _path, node in nnx.iter_graph(model):
+        if isinstance(node, nnx.Variable):
+            v = node.get_value()
+            if v is not None:
+                node.set_value(jax.device_put(v, dev))
+
+    kv_quant = None if args.kv == "bf16" else args.kv
+    if args.bf16_softmax:
+        from quanto_tpu.ops import config as _ops_config
+
+        _ops_config.set_backend(bf16_softmax=True)
+    rng = np.random.RandomState(0)
+    prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
+    engine = BatchedEngine(
+        model, max_batch=len(prompts), max_len=max_len, kv_quant=kv_quant
+    )
+    rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+    engine.run_to_completion(burst=args.burst)  # warm
+    rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
+    t0 = _time.time()
+    engine.run_to_completion(burst=args.burst)
+    dt = _time.time() - t0
+    n_tokens = sum(len(engine.result(r)) for r in rids)
+    print(
+        f"moe serving B={len(prompts)} kv={args.kv}: {n_tokens} tokens, "
+        f"decode {dt:.2f}s ({n_tokens/dt:.1f} tok/s)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
