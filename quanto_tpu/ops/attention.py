@@ -259,11 +259,13 @@ def try_flash_decode(
             return None  # asymmetric specs: rank-1 shift terms live in gqa_attention
         ks, vs = new_cache._k_scale, new_cache._v_scale
     elif isinstance(new_cache, PagedKVLayer):
-        if new_cache._k_pages.dtype == jnp.int4:
-            return None  # s4 pages: einsum path (see above)
+        if jnp.int4 in (new_cache._k_pages.dtype, new_cache._v_pages.dtype):
+            return None  # s4 pages (incl. mixed k8v4): einsum path (see above)
+        if new_cache._k_shift is not None:
+            return None  # asymmetric specs: shift terms live in gqa_attention
         # Dense gathered view; in-kernel page-table indirection is the
         # round-2 bandwidth optimization.
-        kd, vd, ks, vs = paged_read_raw(new_cache, B, new_cache._k_pages.dtype)
+        kd, vd, ks, vs, _, _ = paged_read_raw(new_cache, B, new_cache._k_pages.dtype)
     else:
         (kd, vd), (ks, vs) = new_cache, (None, None)
     pos_vec = jnp.broadcast_to(jnp.asarray(cache_pos).reshape(-1), (B,))

@@ -254,7 +254,7 @@ def kv_read_raw(layer_cache, dtype, batch: int = None):
     from .paged_kv import PagedKVLayer, paged_read_raw
 
     if isinstance(layer_cache, PagedKVLayer):
-        return paged_read_raw(layer_cache, batch, dtype) + (None, None)
+        return paged_read_raw(layer_cache, batch, dtype)
     if isinstance(layer_cache, QKVCacheLayer):
         return (
             layer_cache._k_data.astype(dtype),

@@ -56,7 +56,9 @@ class PagedKVLayer:
     _k_scale: jnp.ndarray
     _v_scale: jnp.ndarray
     _table: jnp.ndarray
-    qtype_name: Optional[str]  # static
+    qtype_name: Optional[str]  # static: KV spec (see kv_cache.parse_kv_spec)
+    _k_shift: jnp.ndarray = None  # per-slot mean shifts (asym specs only)
+    _v_shift: jnp.ndarray = None
 
 
 def init_paged_kv_cache(
@@ -70,25 +72,35 @@ def init_paged_kv_cache(
     kv_quant=None,
     dtype=jnp.bfloat16,
 ) -> Tuple[PagedKVLayer, ...]:
-    qt: Optional[qtype] = None
+    from .kv_cache import device_zeros, parse_kv_spec
+
+    spec = None
+    k_qt = v_qt = None
+    asym = False
     if kv_quant is not None:
-        qt = qtypes[kv_quant] if isinstance(kv_quant, str) else kv_quant
+        spec = kv_quant.name if isinstance(kv_quant, qtype) else str(kv_quant)
+        k_qt, v_qt, asym = parse_kv_spec(spec)
+
+    def pdtype(q):
         # int4 pages are native s4 (see tensor/kv_cache.py module docs).
-        dtype = jnp.int4 if (not qt.is_floating_point and qt.bits == 4) else qt.dtype
+        if q is None:
+            return dtype
+        return jnp.int4 if (not q.is_floating_point and q.bits == 4) else q.dtype
+
     shape = (n_pages, page_size, n_kv_heads, head_dim)
     # Scale pages only exist for quantized payloads (dummy scalar otherwise).
-    sshape = (n_pages, page_size, n_kv_heads, 1) if qt is not None else (1, 1, 1, 1)
-    from .kv_cache import device_zeros
-
+    sshape = (n_pages, page_size, n_kv_heads, 1) if spec is not None else (1, 1, 1, 1)
     table = jnp.zeros((max_slots, pages_per_slot), jnp.int32)
     return tuple(
         PagedKVLayer(
-            _k_pages=device_zeros(shape, dtype),
-            _v_pages=device_zeros(shape, dtype),
+            _k_pages=device_zeros(shape, pdtype(k_qt)),
+            _v_pages=device_zeros(shape, pdtype(v_qt)),
             _k_scale=jnp.ones(sshape, jnp.float32),
             _v_scale=jnp.ones(sshape, jnp.float32),
             _table=table,
-            qtype_name=qt.name if qt is not None else None,
+            qtype_name=spec,
+            _k_shift=jnp.zeros(sshape, jnp.float32) if asym else None,
+            _v_shift=jnp.zeros(sshape, jnp.float32) if asym else None,
         )
         for _ in range(n_layers)
     )
@@ -118,12 +130,13 @@ def paged_update(layer: PagedKVLayer, k: jnp.ndarray, v: jnp.ndarray, pos) -> Pa
     page_ids = layer._table[jnp.arange(B)[:, None], positions // ps]  # [B, T]
     offsets = positions % ps
 
+    km = vm = None
     if layer.qtype_name is not None:
-        from .kv_cache import _quantize_slot
+        from .kv_cache import _quantize_slot, parse_kv_spec
 
-        qt = qtypes[layer.qtype_name]
-        kd, ks, _ = _quantize_slot(k, qt)
-        vd, vs, _ = _quantize_slot(v, qt)
+        k_qt, v_qt, asym = parse_kv_spec(layer.qtype_name)
+        kd, ks, km = _quantize_slot(k, k_qt, asym)
+        vd, vs, vm = _quantize_slot(v, v_qt, asym)
     else:
         kd, vd = k, v
         ks = vs = None
@@ -142,14 +155,25 @@ def paged_update(layer: PagedKVLayer, k: jnp.ndarray, v: jnp.ndarray, pos) -> Pa
         ),
         _table=layer._table,
         qtype_name=layer.qtype_name,
+        _k_shift=(
+            _scatter_tokens(layer._k_shift, km, page_ids, offsets)
+            if km is not None
+            else layer._k_shift
+        ),
+        _v_shift=(
+            _scatter_tokens(layer._v_shift, vm, page_ids, offsets)
+            if vm is not None
+            else layer._v_shift
+        ),
     )
     return new
 
 
 def paged_read_raw(layer: PagedKVLayer, batch: int, dtype):
-    """Dense per-slot views (k, v, k_scale, v_scale) for slots 0..batch-1:
-    [B, S_max, H, D] gathered through the page table (scales None for float
-    pages). The attention paths consume this exactly like the dense cache."""
+    """Dense per-slot views (k, v, k_scale, v_scale, k_shift, v_shift) for
+    slots 0..batch-1: [B, S_max, H, D] gathered through the page table
+    (scales/shifts None for float pages / symmetric specs). The attention
+    paths consume this exactly like the dense cache."""
     table = layer._table[:batch]  # [B, P]
     B, P = table.shape
     ps = layer._k_pages.shape[1]
@@ -161,5 +185,7 @@ def paged_read_raw(layer: PagedKVLayer, batch: int, dtype):
     k = gather(layer._k_pages).astype(dtype)
     v = gather(layer._v_pages).astype(dtype)
     if layer.qtype_name is None:
-        return k, v, None, None
-    return k, v, gather(layer._k_scale), gather(layer._v_scale)
+        return k, v, None, None, None, None
+    km = gather(layer._k_shift) if layer._k_shift is not None else None
+    vm = gather(layer._v_shift) if layer._v_shift is not None else None
+    return k, v, gather(layer._k_scale), gather(layer._v_scale), km, vm

@@ -21,7 +21,11 @@ def _tiny():
     return LlamaForCausalLM(config, rngs=nnx.Rngs(0))
 
 
-@pytest.mark.parametrize("kv_quant", [None, "qint8", "qint4"], ids=["float", "int8", "int4"])
+@pytest.mark.parametrize(
+    "kv_quant",
+    [None, "qint8", "qint4", "k8v4", "qint4a"],
+    ids=["float", "int8", "int4", "k8v4", "int4-asym"],
+)
 def test_paged_cache_matches_dense(kv_quant):
     """Prefill + decode through a page-table cache equals the dense cache
     (identity table: slot b owns pages [b*P .. b*P+P-1], page 0 kept free by
