@@ -29,8 +29,10 @@ def main():
     p.add_argument("--model", choices=["1b", "8b"], default="1b",
                    help="8b = Llama-3.1-8B-shaped north-star serving slice "
                    "(int4+head4 weights, built on host)")
-    p.add_argument("--kv", choices=["bf16", "qint8", "qint4"], default="bf16",
-                   help="KV cache storage for the engine")
+    p.add_argument("--kv", default="bf16",
+                   choices=["bf16", "qint8", "qint4", "k8v4", "qint4a", "k8v4a"],
+                   help="KV cache spec for the engine "
+                   "(tensor/kv_cache.parse_kv_spec)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=128)
     p.add_argument("--burst", type=int, default=16)
@@ -171,8 +173,6 @@ def main_moe(args, on_tpu):
     through the continuous-batching engine with stacked-expert kernel
     dispatch. At --batch 1/2 each decode step streams only the routed
     experts (RESULTS.md round-4 MoE table: 2.31x/1.62x over dense-mask)."""
-    import time as _time
-
     from quanto_tpu.models.mixtral import MixtralConfig, MixtralForCausalLM
     from quanto_tpu.ops import config as ops_config
     from quanto_tpu.parallel import convert_moe_to_stacked
@@ -219,9 +219,7 @@ def main_moe(args, on_tpu):
 
     kv_quant = None if args.kv == "bf16" else args.kv
     if args.bf16_softmax:
-        from quanto_tpu.ops import config as _ops_config
-
-        _ops_config.set_backend(bf16_softmax=True)
+        ops_config.set_backend(bf16_softmax=True)
     rng = np.random.RandomState(0)
     prompts = [rng.randint(0, config.vocab_size, size=L).tolist() for L in prompt_lens]
     engine = BatchedEngine(
@@ -230,9 +228,9 @@ def main_moe(args, on_tpu):
     rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
     engine.run_to_completion(burst=args.burst)  # warm
     rids = [engine.add(p, max_new_tokens=args.new_tokens) for p in prompts]
-    t0 = _time.time()
+    t0 = time.time()
     engine.run_to_completion(burst=args.burst)
-    dt = _time.time() - t0
+    dt = time.time() - t0
     n_tokens = sum(len(engine.result(r)) for r in rids)
     print(
         f"moe serving B={len(prompts)} kv={args.kv}: {n_tokens} tokens, "

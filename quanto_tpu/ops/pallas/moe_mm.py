@@ -95,11 +95,13 @@ def _sel_call(x_pad, eids, packed3, scale3, shift3, *, bits, group_size, k_shard
         _moe_sel_kernel, bits=bits, group_size=group_size, k_shards=k_shards
     )
     # Grid order (j, i) with the PAIR index innermost: callers sort pairs by
-    # expert id, so consecutive i steps at a fixed j revisit the SAME weight
-    # block whenever two pairs share an expert — the Mosaic pipeline skips
-    # the re-fetch when the next block indices equal the current ones, which
-    # dedups duplicate-expert streaming for free (e.g. B=4 top-2 of 8:
-    # 8 pairs but typically only 5-7 distinct experts streamed).
+    # expert id so duplicate experts land on adjacent i steps. NOTE: the
+    # hoped-for dedup (Mosaic skipping the re-fetch when consecutive block
+    # indices are equal) was MEASURED ABSENT under scalar-prefetched index
+    # maps (RESULTS.md round-4 addendum: 1-unique vs 8-unique eids differ by
+    # only 6%) — duplicates still stream, which is why callers gate the
+    # selective path at S*top_k < E. The order is kept because it is free
+    # and becomes a win if a future Mosaic adds the runtime skip.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // bn, nsel),

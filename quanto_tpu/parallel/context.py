@@ -31,10 +31,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["cp_gqa_attention", "shard_cache_seq", "cp_decode_attention"]
 
 
-def _slot_scale_t(s, dtype):
-    return jnp.transpose(s[..., 0], (0, 2, 1))[:, :, None, None, :].astype(dtype)
-
-
 def cp_gqa_attention(
     q5: jnp.ndarray,
     k: jnp.ndarray,
@@ -45,14 +41,21 @@ def cp_gqa_attention(
     *,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    k_shift: Optional[jnp.ndarray] = None,
+    v_shift: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sequence-sharded grouped-query attention (call INSIDE shard_map).
 
     q5 [B, T, Hkv, G, D] replicated; k/v [B, S/sp, Hkv, D] (this shard's
     keys/values, any storage dtype); mask [B or 1, 1, T, S/sp] additive for
-    this shard's key positions; per-slot scales sharded with the cache.
+    this shard's key positions; per-slot scales/shifts sharded with the
+    cache (the asymmetric specs' rank-1 shift corrections distribute the
+    same way the dense `gqa_attention` applies them — the k term is local
+    to the logits, the v term rides the psum'd numerator).
     Returns the EXACT softmax attention output [B, T, Hkv*G*D], replicated.
     """
+    from ..ops.attention import _slot_scale_t
+
     B, T, Hkv, G, D = q5.shape
     out_dtype = q5.dtype
     logits = jnp.einsum(
@@ -60,6 +63,10 @@ def cp_gqa_attention(
     )
     if k_scale is not None:
         logits = logits * _slot_scale_t(k_scale, logits.dtype)
+    if k_shift is not None:
+        qsum = jnp.sum(q5.astype(jnp.float32), axis=-1)  # [B, T, Hkv, G]
+        qsum = jnp.transpose(qsum, (0, 2, 3, 1))[..., None]
+        logits = logits + qsum * _slot_scale_t(k_shift, jnp.float32)
     logits = logits * jnp.asarray(scale, logits.dtype)
     if mask is not None:
         logits = logits + mask[:, :, None].astype(logits.dtype)
@@ -68,11 +75,15 @@ def cp_gqa_attention(
     m = lax.pmax(jnp.max(logits, axis=-1, keepdims=True), axis)
     e = jnp.exp(logits - m)
     den = lax.psum(jnp.sum(e, axis=-1, keepdims=True), axis)  # [B,Hkv,G,T,1]
+    raw_e = e
     if v_scale is not None:
         e = e * _slot_scale_t(v_scale, e.dtype)
     num = jnp.einsum(
         "bhgqk,bkhd->bqhgd", e, v, preferred_element_type=jnp.float32
     )
+    if v_shift is not None:
+        corr = jnp.sum(raw_e * _slot_scale_t(v_shift, jnp.float32), axis=-1)
+        num = num + jnp.transpose(corr, (0, 3, 1, 2))[..., None]
     num = lax.psum(num, axis)
     out = num / jnp.transpose(den, (0, 3, 1, 2, 4))
     return out.astype(out_dtype).reshape(B, T, Hkv * G * D)
@@ -117,14 +128,18 @@ def cp_decode_attention(
     sp = mesh.shape[axis]
     if isinstance(layer_cache, QKVCacheLayer):
         S = layer_cache._k_data.shape[1]
+        has_shift = layer_cache._k_shift is not None
         operands = (
             layer_cache._k_data, layer_cache._v_data,
             layer_cache._k_scale, layer_cache._v_scale,
         )
+        if has_shift:
+            operands = operands + (layer_cache._k_shift, layer_cache._v_shift)
         quantized = True
     else:
         ck, cv = layer_cache
         S = ck.shape[1]
+        has_shift = False
         operands = (ck, cv)
         quantized = False
     S_loc = S // sp
@@ -138,10 +153,11 @@ def cp_decode_attention(
             jnp.finfo(jnp.float32).min,
         )
         if quantized:
-            kd, vd, ks, vs = ops
+            kd, vd, ks, vs = ops[:4]
+            km, vm = ops[4:6] if has_shift else (None, None)
             return cp_gqa_attention(
                 q5, kd.astype(q5.dtype), vd.astype(q5.dtype), mask, scale,
-                axis, k_scale=ks, v_scale=vs,
+                axis, k_scale=ks, v_scale=vs, k_shift=km, v_shift=vm,
             )
         ck, cv = ops
         return cp_gqa_attention(

@@ -120,6 +120,13 @@ class PipelinedLlama:
         if B % MB != 0:
             raise ValueError(f"batch {B} does not split into {MB} microbatches")
         b = B // MB
+        if self.dp_axis is not None:
+            dp = self.mesh.shape[self.dp_axis]
+            if b % dp != 0:
+                raise ValueError(
+                    f"microbatch rows {b} (batch {B} / {MB} microbatches) do "
+                    f"not shard over {self.dp_axis}={dp}"
+                )
 
         embed = nnx.merge(self._embed_graphdef, embed_state)
         x = embed(input_ids)

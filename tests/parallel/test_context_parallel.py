@@ -36,7 +36,7 @@ def test_cp_matches_single_device_float(sp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("kv_quant", ["qint8", "qint4"])
+@pytest.mark.parametrize("kv_quant", ["qint8", "qint4", "k8v4", "qint4a"])
 def test_cp_matches_single_device_quantized(kv_quant):
     rng = np.random.RandomState(1)
     B, S, Hkv, G, D = 2, 64, 2, 2, 16
@@ -49,9 +49,10 @@ def test_cp_matches_single_device_quantized(kv_quant):
     scale = D**-0.5
     from quanto_tpu.tensor.kv_cache import kv_read_raw
 
-    kd, vd, ks, vs, _, _ = kv_read_raw(layer, q5.dtype)
+    kd, vd, ks, vs, km, vm = kv_read_raw(layer, q5.dtype)
     ref = gqa_attention(
-        q5, kd, vd, _mask_from_lengths(lengths, S), scale, k_scale=ks, v_scale=vs
+        q5, kd, vd, _mask_from_lengths(lengths, S), scale,
+        k_scale=ks, v_scale=vs, k_shift=km, v_shift=vm,
     )
 
     mesh = make_mesh({"sp": 4, "x": 2})
