@@ -66,15 +66,19 @@ def _stacked_ok(x, packed3, bits, group_size, k_shards) -> bool:
     return _kernel_ok(x, jax.ShapeDtypeStruct((N, Kpacked), packed3.dtype), bits, K, gs, k_shards)
 
 
-_SEL_P = 8  # padded pair rows: Mosaic needs >=8 f32 sublanes per block
+_SEL_MAX = 32  # pair cap: the kernel computes ceil8(nsel) rows per pair
+# (quadratic in nsel), free only while decode stays weight-streaming-bound —
+# at 32 pairs the per-block MXU work is 4x the plain decode kernel's, still
+# far under the streaming bound at sub-byte widths.
 
 
 def _moe_sel_kernel(eids_ref, x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
     # eids_ref is consumed by the index maps. Single-row blocks violate the
     # Mosaic sublane tiling (bf16 tile is (2, 128), f32 (8, 128)), so each
-    # grid step computes ALL <= 8 padded pair rows against its selected
-    # expert — decode is weight-streaming-bound, the extra rows are free —
-    # and the caller keeps row i of step i (the diagonal).
+    # grid step computes ALL padded pair rows (nsel rounded up to the
+    # sublane multiple) against its selected expert — decode is
+    # weight-streaming-bound, the extra rows are free — and the caller
+    # keeps row i of step i (the diagonal).
     del eids_ref
     _kernel(
         x_ref, p_ref.at[0], s_ref.at[0], z_ref.at[0], out_ref.at[0],
@@ -154,20 +158,20 @@ def qbits_moe_sel_call(
     interpret: bool = False,
 ) -> Optional[jnp.ndarray]:
     """out[i] = x_sel[i] @ dequant(W[eids[i]]).T, streaming ONLY the selected
-    experts' weights. x_sel [nsel, K] with nsel <= 8 (the selective decode
+    experts' weights. x_sel [nsel, K] with nsel <= 32 (the selective decode
     regime — larger fan-outs go through the all-experts kernel); eids [nsel]
     int32; returns [nsel, N] f32 or None when outside the kernel envelope."""
     if x_sel.dtype not in (jnp.bfloat16, jnp.float32):
         return None
     nsel = x_sel.shape[0]
-    if nsel > _SEL_P:
+    if nsel > _SEL_MAX:
         return None
     if not _stacked_ok(x_sel, packed3, bits, group_size, k_shards):
         return None
     E, N, Kpacked = packed3.shape
     vals = _word_vals(packed3.dtype, bits)
     gs = group_size if group_size is not None else Kpacked * vals
-    pad = _SEL_P - nsel
+    pad = -nsel % 8
     x_pad = jnp.pad(x_sel, ((0, pad), (0, 0))) if pad else x_sel
     return _sel_call(
         x_pad, eids.astype(jnp.int32), packed3,

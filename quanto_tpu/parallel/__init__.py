@@ -5,6 +5,7 @@ from .pipeline import PipelinedLlama, pipeline_model
 from .moe import (
     EPSparseMoeBlock,
     GatheredSparseMoeBlock,
+    StackedDeepseekMoE,
     StackedSparseMoeBlock,
     convert_moe_to_ep,
     convert_moe_to_gathered,

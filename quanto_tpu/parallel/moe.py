@@ -48,6 +48,7 @@ __all__ = [
     "EPSparseMoeBlock",
     "GatheredSparseMoeBlock",
     "StackedSparseMoeBlock",
+    "StackedDeepseekMoE",
     "convert_moe_to_ep",
     "convert_moe_to_gathered",
     "convert_moe_to_stacked",
@@ -490,25 +491,53 @@ class StackedSparseMoeBlock(nnx.Module):
             out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
         return out
 
+    def _route(self, x: jnp.ndarray):
+        """[B, T, H] -> (top_i [S, K] int, top_p [S, K] f32 combine weights).
+        The mixtral/qwen family rule: softmax -> top-k -> (renormalize)."""
+        B, T, H = x.shape
+        logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_p, top_i = jax.lax.top_k(probs, self.top_k)
+        if self.norm_topk_prob:
+            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        S = B * T
+        return top_i.reshape(S, self.top_k), top_p.reshape(S, self.top_k)
+
+    def _combine_shared(self, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+        """Add the family's shared-expert contribution (qwen2-moe style:
+        sigmoid-gated shared expert; none for mixtral)."""
+        if self.shared_expert is not None:
+            shared = _maybe_deq(self.shared_expert(x))
+            gate = jax.nn.sigmoid(
+                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
+            )
+            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
+        return out
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H = x.shape
+        top_i, top_p = self._route(x)
+        out = self._dispatch(x, top_i, top_p).reshape(B, T, H)
+        return self._combine_shared(x, out)
+
+    def _dispatch(self, x: jnp.ndarray, top_i: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
+        """Routed-expert dispatch core shared by the family subclasses:
+        top_i/top_p are [S, K] flat routing tables. Returns [S, H]."""
         B, T, H = x.shape
         S = B * T
         E = self.num_experts
         K = self.top_k
         cap = self._capacity(S)
-
-        logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
-        top_p, top_i = jax.lax.top_k(probs, K)
-        if self.norm_topk_prob:
-            top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        top_i = top_i.reshape(S, K)
+        top_p = top_p.reshape(S, K)
 
         xf = x.reshape(S, H)
         out = None
-        if S * K < E and S * K <= 8:
-            # SELECTIVE: stream only the routed experts (<= 8 pairs — the
-            # kernel computes 8 padded rows per pair, free under the
-            # streaming bound; larger fan-outs lose the quadratic trade).
+        if S * K < E and S * K <= 32:
+            # SELECTIVE: stream only the routed experts (<= 32 pairs — the
+            # kernel computes ceil8(nsel) padded rows per pair, free under
+            # the streaming bound while nsel << E; larger fan-outs lose the
+            # quadratic row trade and go all-experts).
             # Pairs are SORTED by expert id so duplicate experts sit on
             # adjacent innermost grid steps. NOTE (measured, round 4): the
             # Mosaic pipeline does NOT skip re-fetches for equal block
@@ -594,28 +623,60 @@ class StackedSparseMoeBlock(nnx.Module):
                 axis=-2,
             ).reshape(S, E)
             out = self._dense_fallback(xf, mask)
-
-        out = out.astype(x.dtype).reshape(B, T, H)
-        if self.shared_expert is not None:
-            shared = _maybe_deq(self.shared_expert(x))
-            gate = jax.nn.sigmoid(
-                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
-            )
-            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
-        return out
+        return out.astype(x.dtype)
 
 
-def _convert_moe(model, make_block) -> int:
+class StackedDeepseekMoE(StackedSparseMoeBlock):
+    """DeepSeek-V3 variant of the stacked dispatch: the sigmoid/group-limited
+    router returns (indices, weights) directly (selection-bias + routed
+    scaling already applied), and the always-on shared experts replace the
+    qwen2-style gated shared expert. At V3 routing shapes (top-8 of 256),
+    single-stream decode streams 8 of 256 experts — a 32x expert-weight
+    traffic cut over any dense dispatch."""
+
+    def __init__(self, block, *, capacity_factor: Optional[float] = 2.0):
+        # block: models.deepseek_v3.DeepseekV3MoE
+        self.capacity_factor = capacity_factor
+        self.num_experts = block.n_routed_experts
+        self.top_k = block.gate.top_k
+        self.norm_topk_prob = False  # router handles its own normalization
+        self.gate = block.gate
+        self.shared_expert = None
+        self.shared_expert_gate = None
+        self.shared_experts = block.shared_experts
+        experts = list(block.experts)
+        projs = []
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            ws = [_expert_weight(getattr(e, name)) for e in experts]
+            if not all(isinstance(w, WeightQBitsTpuArray) for w in ws):
+                raise ValueError(
+                    "StackedDeepseekMoE needs frozen sub-byte experts "
+                    "(WeightQBitsTpuArray); quantize+freeze with qint4/qint2"
+                )
+            projs.append(_StackedProj(ws, None, None))
+        self.proj_gate, self.proj_up, self.proj_down = projs
+
+    def _route(self, x: jnp.ndarray):
+        B, T, H = x.shape
+        top_i, top_w = self.gate(x.reshape(-1, H))  # [S, K] each
+        return top_i, top_w.astype(jnp.float32)
+
+    def _combine_shared(self, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+        return out + _maybe_deq(self.shared_experts(x)).astype(out.dtype)
+
+
+def _convert_moe(model, make_block, extra_types=()) -> int:
     from ..models.mixtral import MixtralSparseMoeBlock
     from ..models.qwen2_moe import Qwen2MoeSparseBlock
     from ..models.qwen3 import Qwen3MoeSparseBlock
 
+    types = (
+        MixtralSparseMoeBlock, Qwen2MoeSparseBlock, Qwen3MoeSparseBlock,
+    ) + tuple(extra_types)
     converted = 0
     seen = set()
     for path, node in list(nnx.iter_graph(model)):
-        if not isinstance(
-            node, (MixtralSparseMoeBlock, Qwen2MoeSparseBlock, Qwen3MoeSparseBlock)
-        ):
+        if not isinstance(node, types):
             continue
         if id(node) in seen:
             continue
@@ -643,14 +704,20 @@ def convert_moe_to_gathered(model, *, capacity_factor: Optional[float] = 2.0) ->
 
 
 def convert_moe_to_stacked(model, *, capacity_factor: Optional[float] = 2.0) -> int:
-    """Replace every dense-mask sparse MoE block with a
-    `StackedSparseMoeBlock` (stacked-expert Pallas dispatch: selective
-    streaming at small decode batches, copy-free dense-mask at larger ones,
-    batched-expert capacity GEMM at prefill). Requires frozen sub-byte
-    experts; apply AFTER quantize/freeze/load."""
-    return _convert_moe(
-        model, lambda b: StackedSparseMoeBlock(b, capacity_factor=capacity_factor)
-    )
+    """Replace every dense-mask sparse MoE block with the stacked-expert
+    Pallas dispatch (`StackedSparseMoeBlock`, or `StackedDeepseekMoE` for
+    DeepSeek-V3's sigmoid-routed blocks): selective streaming at small
+    decode batches, copy-free dense-mask at larger ones, batched-expert
+    capacity GEMM at prefill. Requires frozen sub-byte experts; apply AFTER
+    quantize/freeze/load."""
+    from ..models.deepseek_v3 import DeepseekV3MoE
+
+    def make(block):
+        if isinstance(block, DeepseekV3MoE):
+            return StackedDeepseekMoE(block, capacity_factor=capacity_factor)
+        return StackedSparseMoeBlock(block, capacity_factor=capacity_factor)
+
+    return _convert_moe(model, make, extra_types=(DeepseekV3MoE,))
 
 
 def convert_moe_to_ep(

@@ -149,3 +149,40 @@ def test_requires_frozen_subbyte():
     )
     with pytest.raises(ValueError, match="sub-byte"):
         StackedSparseMoeBlock(float_block)
+
+
+def test_deepseek_moe_stacked_converter():
+    """DeepSeek-V3's sigmoid/group-routed MoE through the stacked dispatch
+    (StackedDeepseekMoE): selective decode at top-8-of-8+ shapes, shared
+    experts preserved, logits match the dense-mask model."""
+    from quanto_tpu.models.deepseek_v3 import DeepseekV3Config, DeepseekV3ForCausalLM
+    from quanto_tpu.parallel import StackedDeepseekMoE
+
+    cfg = DeepseekV3Config(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        moe_intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, q_lora_rank=32, kv_lora_rank=32,
+        qk_rope_head_dim=16, qk_nope_head_dim=16, v_head_dim=16,
+        n_routed_experts=16, n_group=4, topk_group=2, num_experts_per_tok=4,
+        n_shared_experts=1, first_k_dense_replace=1, dtype=jnp.float32,
+    )
+    model = DeepseekV3ForCausalLM(cfg, rngs=nnx.Rngs(0))
+    qt.quantize(model, weights="qint4", exclude="lm_head")
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        qt.freeze(model)
+    finally:
+        ops_config.set_backend()
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 5)), jnp.int32)
+    ref, _ = model(ids)
+    n = convert_moe_to_stacked(model, capacity_factor=2.0)
+    assert n == 1  # layer 0 is dense (first_k_dense_replace)
+    assert isinstance(model.model.layers[1].mlp, StackedDeepseekMoE)
+    out, _ = model(ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2, rtol=5e-2)
+    # Single-token decode (S*K = 4 < E = 16): the SELECTIVE regime.
+    blk = model.model.layers[1].mlp
+    x1 = jnp.asarray(np.random.RandomState(1).randn(1, 1, 256) * 0.3, jnp.float32)
+    assert 1 * blk.top_k < blk.num_experts and blk.top_k <= 8
+    y = blk(x1)
+    assert y.shape == x1.shape and bool(jnp.all(jnp.isfinite(y)))
