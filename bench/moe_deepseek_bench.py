@@ -18,7 +18,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import nnx
 
 
@@ -86,22 +85,11 @@ def main():
                 if v is not None:
                     node.set_value(jax.device_put(v, dev))
 
+    from quanto_tpu.models.serve import make_decode_fn
+
     def measure(tag):
         graphdef, state = nnx.split(model)
-
-        def decode(state, tok, cache, pos):
-            m = nnx.merge(graphdef, state)
-
-            def step(carry, _):
-                tok, cache, pos = carry
-                logits, cache = m(tok, cache, pos)
-                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-                return (nxt, cache, pos + 1), nxt
-
-            (_, cache, _), toks = jax.lax.scan(step, (tok, cache, pos), None, length=new)
-            return toks, cache
-
-        decode = jax.jit(decode)
+        decode = make_decode_fn(graphdef, new)
         for B in (1, 2, 4):
             cache = model.init_kv_cache(B, 640, kv_quant="qint8")
             tok = jnp.zeros((B, 1), jnp.int32)

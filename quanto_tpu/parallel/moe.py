@@ -412,6 +412,22 @@ class GatheredSparseMoeBlock(nnx.Module):
         return out
 
 
+def _stack_expert_projs(experts, names, who: str):
+    """Stack (gate/up/down)-style expert projections for the single-device
+    stacked dispatch; shared by the stacked block families."""
+    projs = []
+    for name in names:
+        ws = [_expert_weight(getattr(e, name)) for e in experts]
+        if not all(isinstance(w, WeightQBitsTpuArray) for w in ws):
+            raise ValueError(
+                f"{who} needs frozen sub-byte experts (WeightQBitsTpuArray); "
+                "quantize+freeze with qint4/qint2 first, or use "
+                "GatheredSparseMoeBlock"
+            )
+        projs.append(_StackedProj(ws, None, None))
+    return projs
+
+
 class StackedSparseMoeBlock(nnx.Module):
     """Single-device stacked-expert dispatch through the MoE Pallas kernels
     (`ops/pallas/moe_mm`): the expert index lives inside the kernel grid, so
@@ -444,17 +460,9 @@ class StackedSparseMoeBlock(nnx.Module):
         experts = list(block.experts)
         names = ("w1", "w3", "w2") if hasattr(experts[0], "w1") else (
             "gate_proj", "up_proj", "down_proj")
-        projs = []
-        for name in names:
-            ws = [_expert_weight(getattr(e, name)) for e in experts]
-            if not all(isinstance(w, WeightQBitsTpuArray) for w in ws):
-                raise ValueError(
-                    "StackedSparseMoeBlock needs frozen sub-byte experts "
-                    "(WeightQBitsTpuArray); quantize+freeze with qint4/qint2 "
-                    "first, or use GatheredSparseMoeBlock"
-                )
-            projs.append(_StackedProj(ws, None, None))
-        self.proj_gate, self.proj_up, self.proj_down = projs
+        self.proj_gate, self.proj_up, self.proj_down = _stack_expert_projs(
+            experts, names, "StackedSparseMoeBlock"
+        )
 
     _capacity = EPSparseMoeBlock._capacity
 
@@ -533,8 +541,10 @@ class StackedSparseMoeBlock(nnx.Module):
 
         xf = x.reshape(S, H)
         out = None
-        if S * K < E and S * K <= 32:
-            # SELECTIVE: stream only the routed experts (<= 32 pairs — the
+        from ..ops.pallas.moe_mm import _SEL_MAX
+
+        if S * K < E and S * K <= _SEL_MAX:
+            # SELECTIVE: stream only the routed experts (<= _SEL_MAX pairs — the
             # kernel computes ceil8(nsel) padded rows per pair, free under
             # the streaming bound while nsel << E; larger fan-outs lose the
             # quadratic row trade and go all-experts).
@@ -644,17 +654,10 @@ class StackedDeepseekMoE(StackedSparseMoeBlock):
         self.shared_expert = None
         self.shared_expert_gate = None
         self.shared_experts = block.shared_experts
-        experts = list(block.experts)
-        projs = []
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            ws = [_expert_weight(getattr(e, name)) for e in experts]
-            if not all(isinstance(w, WeightQBitsTpuArray) for w in ws):
-                raise ValueError(
-                    "StackedDeepseekMoE needs frozen sub-byte experts "
-                    "(WeightQBitsTpuArray); quantize+freeze with qint4/qint2"
-                )
-            projs.append(_StackedProj(ws, None, None))
-        self.proj_gate, self.proj_up, self.proj_down = projs
+        self.proj_gate, self.proj_up, self.proj_down = _stack_expert_projs(
+            list(block.experts), ("gate_proj", "up_proj", "down_proj"),
+            "StackedDeepseekMoE",
+        )
 
     def _route(self, x: jnp.ndarray):
         B, T, H = x.shape

@@ -186,3 +186,41 @@ def test_deepseek_moe_stacked_converter():
     assert 1 * blk.top_k < blk.num_experts and blk.top_k <= 8
     y = blk(x1)
     assert y.shape == x1.shape and bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_selective_widened_regime_matches_oracle():
+    """nsel in (9..32] — the widened selective regime (_SEL_MAX=32,
+    ceil8(nsel) row padding + diagonal extraction) must match the direct
+    per-pair matmul oracle; guards the B=2/B=4 DeepSeek-shape results."""
+    from quanto_tpu.ops.pallas import moe_mm
+    from quanto_tpu.tensor.weights import WeightQBitsTpuArray
+
+    rng = np.random.RandomState(0)
+    E, N, K = 16, 256, 256
+    ws = []
+    for _ in range(E):
+        w = jnp.asarray(rng.randn(N, K) * 0.1, jnp.float32)
+        s, z = qt.MaxOptimizer()(w, qt.qint4, axis=0, group_size=128)
+        ws.append(qt.quantize_weight(w, qt.qint4, 0, s, shift=z, group_size=128))
+    tpus = [WeightQBitsTpuArray.from_generic(q) for q in ws]
+    p3 = jnp.stack([t._packed for t in tpus])
+    s3 = jnp.stack([t._scale_t for t in tpus])
+    z3 = jnp.stack([t._shift_t for t in tpus])
+    for nsel in (9, 18, 30):
+        x = jnp.asarray(rng.randn(nsel, K) * 0.3, jnp.float32)
+        eids = jnp.asarray(rng.randint(0, E, nsel), jnp.int32)
+        out = moe_mm.qbits_moe_sel_call(
+            x, eids, p3, s3, z3, 4, 128, interpret=True
+        )
+        assert out is not None, nsel
+        for i in range(nsel):
+            ref = np.asarray(x[i]) @ np.asarray(ws[int(eids[i])].dequantize()).T
+            np.testing.assert_allclose(
+                np.asarray(out[i]), ref, atol=2e-3, rtol=2e-3,
+                err_msg=f"nsel={nsel} i={i}",
+            )
+    # over the cap: graceful None (caller falls back)
+    x = jnp.asarray(rng.randn(33, K), jnp.float32)
+    assert moe_mm.qbits_moe_sel_call(
+        x, jnp.zeros(33, jnp.int32), p3, s3, z3, 4, 128, interpret=True
+    ) is None
