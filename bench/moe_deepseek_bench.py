@@ -85,9 +85,13 @@ def main():
                 if v is not None:
                     node.set_value(jax.device_put(v, dev))
 
-    from quanto_tpu.models.serve import make_decode_fn
+    from quanto_tpu.models.serve import make_decode_fn, make_prefill_fn
+
+    T = 2048 if on_tpu else 32
 
     def measure(tag):
+        import numpy as _np
+
         graphdef, state = nnx.split(model)
         decode = make_decode_fn(graphdef, new)
         for B in (1, 2, 4):
@@ -102,6 +106,22 @@ def main():
                 float(jax.device_get(jnp.sum(toks)))
                 best = min(best, time.time() - t0)
             log(f"{tag}: decode {best*1e3/new:.2f} ms/step, {B*new/best:.0f} tok/s (B={B})")
+        # Prefill: dense-mask spends E x the useful routed-MLP FLOPs; the
+        # capacity-gather batched-expert GEMM cuts it to ~cf*top_k.
+        prefill = make_prefill_fn(graphdef)
+        cache = model.init_kv_cache(1, T + 8, kv_quant="qint8")
+        ids = jnp.asarray(
+            _np.random.RandomState(0).randint(0, cfg.vocab_size, (1, T)), jnp.int32
+        )
+        logits, _ = prefill(state, ids, cache, 0)
+        float(jax.device_get(jnp.sum(logits[:, -1].astype(jnp.float32))))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            logits, _ = prefill(state, ids, cache, 0)
+            float(jax.device_get(jnp.sum(logits[:, -1].astype(jnp.float32))))
+            best = min(best, time.time() - t0)
+        log(f"{tag}: prefill {best*1e3:.0f} ms / {T} tokens = {T/best:.0f} tok/s")
 
     to_device(model)
     measure("dense-mask")
