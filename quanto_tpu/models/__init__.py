@@ -1,5 +1,6 @@
 from .llama import KVCache, LlamaConfig, LlamaForCausalLM, init_kv_cache
 from .gpt2 import GPT2Config, GPT2LMHeadModel
+from .gpt_oss import GptOssConfig, GptOssForCausalLM
 from .mixtral import MixtralConfig, MixtralForCausalLM
 from .opt import OPTConfig, OPTForCausalLM
 from .t5 import T5Config, T5ForConditionalGeneration

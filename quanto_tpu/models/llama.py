@@ -215,8 +215,12 @@ def rope_params(
         def correction_dim(n_rot):
             return head_dim * math.log(orig / (n_rot * 2 * math.pi)) / (2 * math.log(theta))
 
-        low = max(math.floor(correction_dim(beta_fast)), 0)
-        high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+        low = correction_dim(beta_fast)
+        high = correction_dim(beta_slow)
+        if s.get("truncate", True) is not False:
+            low, high = math.floor(low), math.ceil(high)
+        low = max(low, 0)
+        high = min(high, head_dim - 1)
         if low == high:
             high = high + 0.001
         ramp = np.clip(

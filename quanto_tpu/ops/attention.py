@@ -53,6 +53,7 @@ def gqa_attention(
     head_bias: Optional[jnp.ndarray] = None,
     k_shift: Optional[jnp.ndarray] = None,
     v_shift: Optional[jnp.ndarray] = None,
+    sinks: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Grouped-query attention WITHOUT materializing repeated KV: the
     query-head groups fold into a 5D einsum over shared kv heads (a
@@ -72,6 +73,12 @@ def gqa_attention(
     after the 1/sqrt(d) factor) and t5's relative position bias (which runs
     with scale=1.0) ride this. `mask` may be None (e.g. whisper/t5
     cross-attention over full encoder states).
+
+    `sinks` [Hkv*G] are gpt-oss-style learned per-head ATTENTION SINK
+    logits: an extra (valueless) softmax slot whose weight is dropped after
+    normalization — implemented as a denominator term
+    `exp(sink - max(max_logit, sink))`, never materializing the extra
+    column (HF eager concatenates it, modeling_gpt_oss.eager_attention_forward).
 
     `k_shift`/`v_shift` [B, S, Hkv, 1] are the asymmetric-cache per-slot
     mean shifts (`tensor/kv_cache.parse_kv_spec` "...a" specs): dequant is
@@ -120,10 +127,18 @@ def gqa_attention(
         logits = logits + hb.astype(logits.dtype)
     if mask is not None:
         logits = logits + mask[:, :, None].astype(logits.dtype)
+    snk = None
+    if sinks is not None:
+        # [Hkv*G] -> [1, Hkv, G, 1, 1] broadcast alongside the logits.
+        snk = sinks.reshape(1, Hkv, G, 1, 1)
     if bf16_chain:
         m = jnp.max(logits, axis=-1, keepdims=True)
+        if snk is not None:
+            m = jnp.maximum(m, snk.astype(m.dtype))
         e = jnp.exp(logits - m)
         s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        if snk is not None:
+            s = s + jnp.exp(snk.astype(jnp.float32) - m.astype(jnp.float32))
         raw_p = e
         if v_scale is not None:
             e = e * _slot_scale_t(v_scale, e.dtype)
@@ -138,7 +153,16 @@ def gqa_attention(
             out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None]
         out = (out / jnp.transpose(s, (0, 3, 1, 2, 4))).astype(out_dtype)
     else:
-        probs = jax.nn.softmax(logits, axis=-1)
+        if snk is not None:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            m = jnp.maximum(m, snk.astype(m.dtype))
+            e = jnp.exp(logits - m)
+            den = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(
+                snk.astype(logits.dtype) - m
+            )
+            probs = e / den
+        else:
+            probs = jax.nn.softmax(logits, axis=-1)
         raw_p = probs
         if v_scale is not None:
             probs = probs * _slot_scale_t(v_scale, probs.dtype)

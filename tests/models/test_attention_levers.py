@@ -95,7 +95,20 @@ def _deepseek():
     return DeepseekV3ForCausalLM(cfg, rngs=nnx.Rngs(0))
 
 
+def _gpt_oss():
+    from quanto_tpu.models.gpt_oss import GptOssConfig, GptOssForCausalLM
+
+    cfg = GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, max_position_embeddings=64, dtype=jnp.bfloat16,
+    )
+    return GptOssForCausalLM(cfg, rngs=nnx.Rngs(0))
+
+
 FAMILIES = {
+    "gpt_oss": _gpt_oss,
     "mixtral": _llama_like(("mixtral", "Mixtral"), num_local_experts=4,
                            num_experts_per_tok=2),
     "qwen2_moe": _llama_like(("qwen2_moe", "Qwen2Moe")),

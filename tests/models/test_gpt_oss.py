@@ -1,0 +1,106 @@
+"""GPT-OSS (attention sinks + alternating sliding window + fused clamped-
+SwiGLU MoE): logits parity vs HF transformers eager, cached decode
+equivalence, quantization round trip, and the attention levers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+import quanto_tpu as qt
+from quanto_tpu.models import GptOssConfig, GptOssForCausalLM
+from quanto_tpu.models.loading import load_hf_state_dict
+
+
+def _hf_config(**kw):
+    from transformers import GptOssConfig as HFGptOssConfig
+
+    kw.setdefault("vocab_size", 128)
+    kw.setdefault("hidden_size", 64)
+    kw.setdefault("intermediate_size", 96)
+    kw.setdefault("num_hidden_layers", 2)
+    kw.setdefault("num_attention_heads", 4)
+    kw.setdefault("num_key_value_heads", 2)
+    kw.setdefault("head_dim", 16)
+    kw.setdefault("num_local_experts", 4)
+    kw.setdefault("num_experts_per_tok", 2)
+    kw.setdefault("sliding_window", 8)
+    kw.setdefault("max_position_embeddings", 64)
+    kw.setdefault("attn_implementation", "eager")
+    return HFGptOssConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    import torch
+    from transformers import GptOssForCausalLM as HFGptOss
+
+    torch.manual_seed(0)
+    hf_cfg = _hf_config()
+    torch_model = HFGptOss(hf_cfg).eval()
+    with torch.no_grad():
+        # Randomize sinks/router bias (zero init would undertest them).
+        for layer in torch_model.model.layers:
+            layer.self_attn.sinks.uniform_(-1.0, 1.0)
+            layer.mlp.router.bias.uniform_(-0.5, 0.5)
+    tensors = {
+        k: jnp.asarray(v.to(torch.float32).numpy())
+        for k, v in torch_model.state_dict().items()
+    }
+    model = GptOssForCausalLM(GptOssConfig.from_hf(hf_cfg, dtype=jnp.float32))
+    report = load_hf_state_dict(model, tensors)
+    assert report["missing"] == [], report["missing"]
+    assert report["unexpected"] == [], report["unexpected"]
+    return torch_model, model
+
+
+def test_logits_match_hf(pair):
+    import torch
+
+    torch_model, model = pair
+    ids = np.random.RandomState(0).randint(0, 128, (2, 10))
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(ids)).logits.numpy()
+    ours, _ = model(jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_cached_decode_matches_full(pair):
+    _, model = pair
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 128, (1, 8)), jnp.int32)
+    full, _ = model(ids)
+    cache = model.init_kv_cache(1, 16)
+    logits, cache = model(ids[:, :4], cache, 0)
+    outs = [logits]
+    for t in range(4, 8):
+        step, cache = model(ids[:, t : t + 1], cache, t)
+        outs.append(step)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=2e-4, rtol=2e-4)
+
+
+def test_quantized_roundtrip_and_kv_levers(pair):
+    _, model = pair
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (1, 8)), jnp.int32)
+    ref, _ = model(ids)
+    import copy
+
+    qmodel = copy.deepcopy(model)
+    qt.quantize(qmodel, weights="qint8", exclude="lm_head")
+    qt.freeze(qmodel)
+    out, _ = qmodel(ids)
+    a, b = np.asarray(out).ravel(), np.asarray(ref).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.995, cos
+    # int8 KV cache decode stays close to the float-cache decode.
+    cache = qmodel.init_kv_cache(1, 16, kv_quant="qint8")
+    logits, cache = qmodel(ids[:, :4], cache, 0)
+    outs = [logits]
+    for t in range(4, 8):
+        step, cache = qmodel(ids[:, t : t + 1], cache, t)
+        outs.append(step)
+    got = jnp.concatenate(outs, axis=1)
+    a, b = np.asarray(got).ravel(), np.asarray(out).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.999, cos
