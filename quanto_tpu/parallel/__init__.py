@@ -6,6 +6,8 @@ from .moe import (
     EPSparseMoeBlock,
     GatheredSparseMoeBlock,
     StackedDeepseekMoE,
+    StackedGptOssMoE,
+    convert_gpt_oss_moe_to_stacked,
     StackedSparseMoeBlock,
     convert_moe_to_ep,
     convert_moe_to_gathered,

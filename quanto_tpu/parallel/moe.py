@@ -49,6 +49,8 @@ __all__ = [
     "GatheredSparseMoeBlock",
     "StackedSparseMoeBlock",
     "StackedDeepseekMoE",
+    "StackedGptOssMoE",
+    "convert_gpt_oss_moe_to_stacked",
     "convert_moe_to_ep",
     "convert_moe_to_gathered",
     "convert_moe_to_stacked",
@@ -466,6 +468,19 @@ class StackedSparseMoeBlock(nnx.Module):
 
     _capacity = EPSparseMoeBlock._capacity
 
+    def _glu(self, g, u):
+        """Gate/up combination; the llama-family SwiGLU by default. Family
+        subclasses override (e.g. gpt-oss's clamped variant)."""
+        return jax.nn.silu(g) * u
+
+    def _post_mm(self, which, y, eids=None, _expert=None):
+        """Hook after each projection matmul (f32 [..., N]); `which` in
+        {gate, up, down}. `eids` is the per-row expert table on the
+        selective path; `_expert` the single expert index on the dense
+        fallback; both None on the expert-leading [E, M, N] paths. Default
+        identity; subclasses add per-expert biases here."""
+        return y
+
     def _mm(self, kind, x, proj, eids=None):
         """One stacked projection through the matching MoE kernel; returns
         None when outside the kernel envelope (caller falls back)."""
@@ -493,9 +508,13 @@ class StackedSparseMoeBlock(nnx.Module):
         leaves = tuple(p.leaves() for p in projs)
         out = jnp.zeros_like(x)
         for e in range(self.num_experts):
-            g = projs[0].apply(x, leaves[0], e)
-            u = projs[1].apply(x, leaves[1], e)
-            y = projs[2].apply((jax.nn.silu(g) * u).astype(x.dtype), leaves[2], e)
+            g = self._post_mm("gate", projs[0].apply(x, leaves[0], e), _expert=e)
+            u = self._post_mm("up", projs[1].apply(x, leaves[1], e), _expert=e)
+            y = self._post_mm(
+                "down",
+                projs[2].apply(self._glu(g, u).astype(x.dtype), leaves[2], e),
+                _expert=e,
+            )
             out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
         return out
 
@@ -566,9 +585,12 @@ class StackedSparseMoeBlock(nnx.Module):
             g = self._mm("sel", x_sel, self.proj_gate, eids_s)
             u = self._mm("sel", x_sel, self.proj_up, eids_s) if g is not None else None
             if u is not None:
-                h = (jax.nn.silu(g) * u).astype(x.dtype)
+                g = self._post_mm("gate", g, eids_s)
+                u = self._post_mm("up", u, eids_s)
+                h = self._glu(g, u).astype(x.dtype)
                 d = self._mm("sel", h, self.proj_down, eids_s)
                 if d is not None:
+                    d = self._post_mm("down", d, eids_s)
                     d = jnp.take(d, inv, axis=0)  # back to pair order
                     w = top_p.reshape(S * K, 1)
                     out = (w * d).reshape(S, K, H).sum(axis=1)
@@ -588,11 +610,14 @@ class StackedSparseMoeBlock(nnx.Module):
             g3 = self._mm("all", xp, self.proj_gate)
             u3 = self._mm("all", xp, self.proj_up) if g3 is not None else None
             if u3 is not None:
-                h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)  # [E, Sp, I]
+                g3 = self._post_mm("gate", g3)
+                u3 = self._post_mm("up", u3)
+                h3 = self._glu(g3, u3).astype(x.dtype)  # [E, Sp, I]
                 # The down projection is per-expert on per-expert inputs:
                 # the batched-expert GEMM kernel covers it (M tile = Sp).
                 d3 = self._mm("prefill", h3, self.proj_down)
                 if d3 is not None:
+                    d3 = self._post_mm("down", d3)
                     mask = jnp.sum(
                         jax.nn.one_hot(top_i, E, dtype=jnp.float32)
                         * top_p[..., None], axis=-2,
@@ -620,9 +645,12 @@ class StackedSparseMoeBlock(nnx.Module):
             g3 = self._mm("prefill", xg, self.proj_gate)
             u3 = self._mm("prefill", xg, self.proj_up) if g3 is not None else None
             if u3 is not None:
-                h3 = (jax.nn.silu(g3) * u3).astype(x.dtype)
+                g3 = self._post_mm("gate", g3)
+                u3 = self._post_mm("up", u3)
+                h3 = self._glu(g3, u3).astype(x.dtype)
                 d3 = self._mm("prefill", h3, self.proj_down)
                 if d3 is not None:
+                    d3 = self._post_mm("down", d3)
                     acc = jnp.zeros((S, H), jnp.float32)
                     for e in range(E):
                         acc = acc.at[idx[e]].add(top_v[e][:, None] * d3[e])
@@ -666,6 +694,143 @@ class StackedDeepseekMoE(StackedSparseMoeBlock):
 
     def _combine_shared(self, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
         return out + _maybe_deq(self.shared_experts(x)).astype(out.dtype)
+
+
+class StackedGptOssMoE(StackedSparseMoeBlock):
+    """GPT-OSS variant: the HF checkpoint stores experts as FUSED bf16
+    Params ([E, H, 2I] interleaved gate/up + [E, I, H] down, all biased) —
+    plain Parameters that neither the torch reference nor our module swap
+    would ever quantize. This block QUANTIZES them: each expert's gate/up/
+    down de-interleaves into torch-convention [out, in] weights, quantizes
+    per-expert (sub-byte group-wise), and stacks into the kernel layout —
+    the routed-expert memory drops ~4x at int4 AND small-batch decode rides
+    the selective streaming path. The clamped-SwiGLU epilogue
+    (`(clip(up)+1) * gate*sigmoid(1.702*gate)`) and the per-expert biases
+    run as XLA epilogues via the `_glu`/`_post_mm` hooks.
+
+    Kernel envelope note: the sub-byte kernels need the contraction dim in
+    512-element blocks (w16 packing x 128 lanes), so weights are ZERO-PADDED
+    to the next 1024 multiple at quantize time and activations are padded to
+    match inside `_mm` — exact (pad groups quantize to ~0 and multiply zero
+    activation columns), and it makes off-envelope dims like the released
+    20b's hidden 2880 kernel-eligible (2880 -> 3072).
+    """
+
+    def __init__(self, block, *, weights="qint4", group_size: int = 128,
+                 capacity_factor: Optional[float] = 2.0):
+        # block: models.gpt_oss.GptOssMLP
+        from .. import MaxOptimizer, quantize_weight, qtypes as _qtypes
+        from ..tensor.weights import WeightQBitsTpuArray as _W
+
+        qt_ = _qtypes[weights] if isinstance(weights, str) else weights
+        router = block.router
+        self.capacity_factor = capacity_factor
+        self.num_experts = router.num_experts
+        self.top_k = router.top_k
+        self.norm_topk_prob = False
+        self.gate = router
+        self.shared_expert = None
+        self.shared_expert_gate = None
+        ex = block.experts
+        self._alpha = ex.alpha
+        self._limit = ex.limit
+        gu = ex.gate_up_proj.get_value()  # [E, H, 2I]
+        gu_b = ex.gate_up_proj_bias.get_value()  # [E, 2I]
+        dn = ex.down_proj.get_value()  # [E, I, H]
+        dn_b = ex.down_proj_bias.get_value()  # [E, H]
+
+        def quant(w):  # torch-convention [out, in] float -> frozen sub-byte
+            kpad = -w.shape[1] % 1024  # kernel envelope (see class docstring)
+            npad = -w.shape[0] % 128  # out dim must tile to 128 lanes too
+            if kpad or npad:
+                w = jnp.pad(w, ((0, npad), (0, kpad)))
+            scale, shift = MaxOptimizer()(w, qt_, axis=0, group_size=group_size)
+            q = quantize_weight(w, qt_, 0, scale, shift=shift, group_size=group_size)
+            tpu = _W.from_generic(q)
+            assert tpu is not None, (w.shape, qt_, group_size)
+            return tpu
+
+        gates, ups, downs = [], [], []
+        for e in range(self.num_experts):
+            gates.append(quant(jnp.transpose(gu[e][:, 0::2])))  # [I, H]
+            ups.append(quant(jnp.transpose(gu[e][:, 1::2])))
+            downs.append(quant(jnp.transpose(dn[e])))  # [H, I]
+        self.proj_gate = _StackedProj(gates, None, None)
+        self.proj_up = _StackedProj(ups, None, None)
+        self.proj_down = _StackedProj(downs, None, None)
+        # True (unpadded) out dims: _mm slices the padded kernel output.
+        inter = gu.shape[2] // 2
+        self._true_n = {"gate": inter, "up": inter, "down": dn.shape[2]}
+        self.bias_gate = nnx.Param(gu_b[:, 0::2].astype(jnp.float32))  # [E, I]
+        self.bias_up = nnx.Param(gu_b[:, 1::2].astype(jnp.float32))
+        self.bias_down = nnx.Param(dn_b.astype(jnp.float32))  # [E, H]
+
+    def _which(self, proj):
+        if proj is self.proj_gate:
+            return "gate"
+        return "up" if proj is self.proj_up else "down"
+
+    def _mm(self, kind, x, proj, eids=None):
+        # Zero-pad the contraction dim to the (padded) weight K; slice the
+        # output back to the true (unpadded) out dim.
+        K = proj.orig_shape[1]
+        if x.shape[-1] < K:
+            widths = ((0, 0),) * (x.ndim - 1) + ((0, K - x.shape[-1]),)
+            x = jnp.pad(x, widths)
+        y = super()._mm(kind, x, proj, eids)
+        if y is None:
+            return None
+        n = self._true_n[self._which(proj)]
+        return y[..., :n] if y.shape[-1] > n else y
+
+    def _route(self, x: jnp.ndarray):
+        B, T, H = x.shape
+        flat = x.reshape(-1, H)
+        scores, top_i = self.gate(flat)  # [S, E], [S, K]
+        top_p = jnp.take_along_axis(scores, top_i, axis=-1)  # [S, K]
+        return top_i, top_p.astype(jnp.float32)
+
+    def _glu(self, g, u):
+        g = jnp.minimum(g, self._limit)
+        u = jnp.clip(u, -self._limit, self._limit)
+        return (u + 1.0) * (g * jax.nn.sigmoid(g * self._alpha))
+
+    def _post_mm(self, which, y, eids=None, _expert=None):
+        b = {
+            "gate": self.bias_gate, "up": self.bias_up, "down": self.bias_down,
+        }[which].get_value()
+        if eids is not None:  # selective: per-row expert bias [nsel, N]
+            return y + jnp.take(b, eids, axis=0).astype(y.dtype)
+        if _expert is not None:  # dense fallback: single expert
+            return y + b[_expert].astype(y.dtype)
+        return y + b[:, None, :].astype(y.dtype)  # [E, M, N] paths
+
+    def _dense_fallback(self, x, mask):
+        projs = (self.proj_gate, self.proj_up, self.proj_down)
+        leaves = tuple(p.leaves() for p in projs)
+
+        def papply(proj, ls, xv, j):
+            K = proj.orig_shape[1]
+            if xv.shape[-1] < K:
+                xv = jnp.pad(xv, ((0, 0), (0, K - xv.shape[-1])))
+            y = proj.apply(xv, ls, j)
+            n = self._true_n[self._which(proj)]
+            return y[..., :n] if y.shape[-1] > n else y
+
+        out = jnp.zeros_like(x)
+        for e in range(self.num_experts):
+            g = self._post_mm("gate", papply(projs[0], leaves[0], x, e), _expert=e)
+            u = self._post_mm("up", papply(projs[1], leaves[1], x, e), _expert=e)
+            y = self._post_mm(
+                "down",
+                papply(projs[2], leaves[2], self._glu(g, u).astype(x.dtype), e),
+                _expert=e,
+            )
+            out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+    def _combine_shared(self, x, out):
+        return out  # gpt-oss has no shared expert
 
 
 def _convert_moe(model, make_block, extra_types=()) -> int:
@@ -721,6 +886,27 @@ def convert_moe_to_stacked(model, *, capacity_factor: Optional[float] = 2.0) -> 
         return StackedSparseMoeBlock(block, capacity_factor=capacity_factor)
 
     return _convert_moe(model, make, extra_types=(DeepseekV3MoE,))
+
+
+def convert_gpt_oss_moe_to_stacked(
+    model, *, weights="qint4", group_size: int = 128,
+    capacity_factor: Optional[float] = 2.0,
+) -> int:
+    """Quantize every GPT-OSS fused-expert MLP into the stacked sub-byte
+    kernel layout (`StackedGptOssMoE`). Unlike the other converters this
+    one QUANTIZES as it converts (the fused expert Params are not Linears,
+    so `quantize()` never touches them); run it after quantize/freeze of
+    the rest of the model."""
+    from ..models.gpt_oss import GptOssMLP
+
+    return _convert_moe(
+        model,
+        lambda b: StackedGptOssMoE(
+            b, weights=weights, group_size=group_size,
+            capacity_factor=capacity_factor,
+        ),
+        extra_types=(GptOssMLP,),
+    )
 
 
 def convert_moe_to_ep(
