@@ -60,7 +60,14 @@ class GptOssConfig:
     sliding_window: int = 128
     layer_types: Optional[Tuple[str, ...]] = None
     rope_theta: float = 150000.0
-    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = None
+    # Default mirrors the released checkpoints / HF GptOssConfig: yarn with
+    # factor 32 and truncate=False (a hand-built config must match real
+    # checkpoints; pass rope_scaling=None explicitly for unscaled rope).
+    rope_scaling: Optional[Tuple[Tuple[str, Any], ...]] = (
+        ("beta_fast", 32.0), ("beta_slow", 1.0), ("factor", 32.0),
+        ("original_max_position_embeddings", 4096), ("rope_type", "yarn"),
+        ("truncate", False),
+    )
     max_position_embeddings: int = 131072
     rms_norm_eps: float = 1e-5
     attention_bias: bool = True
@@ -199,16 +206,20 @@ class GptOssTopKRouter(nnx.Module):
         self.top_k = c.num_experts_per_tok
         self.num_experts = c.num_local_experts
 
-    def __call__(self, flat):
-        # [N, H] -> scores [N, E] (softmax over the SELECTED top-k logits,
-        # zeros elsewhere — HF GptOssTopKRouter).
+    def topk(self, flat):
+        """[N, H] -> (top_i [N, K], top_p [N, K]): softmax over the SELECTED
+        top-k logits (HF GptOssTopKRouter semantics)."""
         logits = (
             flat @ self.weight.get_value().T.astype(flat.dtype)
             + self.bias.get_value().astype(flat.dtype)
         ).astype(jnp.float32)
         top_v, top_i = jax.lax.top_k(logits, self.top_k)
-        top_p = jax.nn.softmax(top_v, axis=-1)
-        scores = jnp.zeros_like(logits).at[
+        return top_i, jax.nn.softmax(top_v, axis=-1)
+
+    def __call__(self, flat):
+        # [N, H] -> dense scores [N, E] (zeros off the top-k), HF-shaped.
+        top_i, top_p = self.topk(flat)
+        scores = jnp.zeros((flat.shape[0], self.num_experts), jnp.float32).at[
             jnp.arange(flat.shape[0])[:, None], top_i
         ].set(top_p)
         return scores, top_i

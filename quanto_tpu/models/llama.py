@@ -217,7 +217,7 @@ def rope_params(
 
         low = correction_dim(beta_fast)
         high = correction_dim(beta_slow)
-        if s.get("truncate", True) is not False:
+        if s.get("truncate", True):  # HF truthiness: None/0 also skip rounding
             low, high = math.floor(low), math.ceil(high)
         low = max(low, 0)
         high = min(high, head_dim - 1)

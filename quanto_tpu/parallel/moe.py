@@ -501,6 +501,11 @@ class StackedSparseMoeBlock(nnx.Module):
             return moe_mm.qbits_moe_all_call(x, data, scale, shift, **kw)
         return moe_mm.qbits_moe_prefill_call(x, data, scale, shift, **kw)
 
+    def _apply_proj(self, proj, leaves, x, e):
+        """Single-expert XLA application (fallback path); subclasses wrap
+        with input padding / output slicing when their weights are padded."""
+        return proj.apply(x, leaves, e)
+
     def _dense_fallback(self, x, mask):
         """XLA dense-mask math via per-expert stacked slices (correctness
         fallback off the kernel envelope, e.g. tiny CPU test shapes)."""
@@ -508,11 +513,11 @@ class StackedSparseMoeBlock(nnx.Module):
         leaves = tuple(p.leaves() for p in projs)
         out = jnp.zeros_like(x)
         for e in range(self.num_experts):
-            g = self._post_mm("gate", projs[0].apply(x, leaves[0], e), _expert=e)
-            u = self._post_mm("up", projs[1].apply(x, leaves[1], e), _expert=e)
+            g = self._post_mm("gate", self._apply_proj(projs[0], leaves[0], x, e), _expert=e)
+            u = self._post_mm("up", self._apply_proj(projs[1], leaves[1], x, e), _expert=e)
             y = self._post_mm(
                 "down",
-                projs[2].apply(self._glu(g, u).astype(x.dtype), leaves[2], e),
+                self._apply_proj(projs[2], leaves[2], self._glu(g, u).astype(x.dtype), e),
                 _expert=e,
             )
             out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
@@ -785,9 +790,8 @@ class StackedGptOssMoE(StackedSparseMoeBlock):
 
     def _route(self, x: jnp.ndarray):
         B, T, H = x.shape
-        flat = x.reshape(-1, H)
-        scores, top_i = self.gate(flat)  # [S, E], [S, K]
-        top_p = jnp.take_along_axis(scores, top_i, axis=-1)  # [S, K]
+        # router.topk avoids the dense [S, E] scatter+gather round trip.
+        top_i, top_p = self.gate.topk(x.reshape(-1, H))
         return top_i, top_p.astype(jnp.float32)
 
     def _glu(self, g, u):
@@ -805,29 +809,13 @@ class StackedGptOssMoE(StackedSparseMoeBlock):
             return y + b[_expert].astype(y.dtype)
         return y + b[:, None, :].astype(y.dtype)  # [E, M, N] paths
 
-    def _dense_fallback(self, x, mask):
-        projs = (self.proj_gate, self.proj_up, self.proj_down)
-        leaves = tuple(p.leaves() for p in projs)
-
-        def papply(proj, ls, xv, j):
-            K = proj.orig_shape[1]
-            if xv.shape[-1] < K:
-                xv = jnp.pad(xv, ((0, 0), (0, K - xv.shape[-1])))
-            y = proj.apply(xv, ls, j)
-            n = self._true_n[self._which(proj)]
-            return y[..., :n] if y.shape[-1] > n else y
-
-        out = jnp.zeros_like(x)
-        for e in range(self.num_experts):
-            g = self._post_mm("gate", papply(projs[0], leaves[0], x, e), _expert=e)
-            u = self._post_mm("up", papply(projs[1], leaves[1], x, e), _expert=e)
-            y = self._post_mm(
-                "down",
-                papply(projs[2], leaves[2], self._glu(g, u).astype(x.dtype), e),
-                _expert=e,
-            )
-            out = out + (mask[..., e : e + 1] * y.astype(jnp.float32)).astype(x.dtype)
-        return out
+    def _apply_proj(self, proj, leaves, x, e):
+        K = proj.orig_shape[1]
+        if x.shape[-1] < K:
+            x = jnp.pad(x, ((0, 0), (0, K - x.shape[-1])))
+        y = proj.apply(x, leaves, e)
+        n = self._true_n[self._which(proj)]
+        return y[..., :n] if y.shape[-1] > n else y
 
     def _combine_shared(self, x, out):
         return out  # gpt-oss has no shared expert
@@ -849,11 +837,13 @@ def _convert_moe(model, make_block, extra_types=()) -> int:
         if id(node) in seen:
             continue
         seen.add(id(node))
+        new_block = make_block(node)
+        if new_block is None:  # converter declines this block type
+            continue
         parent = model
         for p in path[:-1]:
             parent = parent[p] if isinstance(p, int) else getattr(parent, p)
         attr = path[-1]
-        new_block = make_block(node)
         if isinstance(attr, int):
             parent[attr] = new_block
         else:
@@ -899,14 +889,15 @@ def convert_gpt_oss_moe_to_stacked(
     the rest of the model."""
     from ..models.gpt_oss import GptOssMLP
 
-    return _convert_moe(
-        model,
-        lambda b: StackedGptOssMoE(
-            b, weights=weights, group_size=group_size,
+    def make(block):
+        if not isinstance(block, GptOssMLP):
+            return None  # foreign MoE families: leave untouched
+        return StackedGptOssMoE(
+            block, weights=weights, group_size=group_size,
             capacity_factor=capacity_factor,
-        ),
-        extra_types=(GptOssMLP,),
-    )
+        )
+
+    return _convert_moe(model, make, extra_types=(GptOssMLP,))
 
 
 def convert_moe_to_ep(
