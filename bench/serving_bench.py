@@ -49,6 +49,13 @@ def main():
     p.add_argument("--long-ctx", action="store_true",
                    help="8B long-context serving slice: prompts 3.3-4k "
                    "tokens, max_len 4352 (the north-star serving regime)")
+    p.add_argument("--stream", action="store_true",
+                   help="closed-loop streaming arm: keep `--batch` requests "
+                   "in flight, a new one arrives whenever a slot frees — "
+                   "admission via blocking add() (baseline) vs enqueue() "
+                   "(mixed chunked-prefill/decode interleaving)")
+    p.add_argument("--stream-requests", type=int, default=16,
+                   help="total requests served in the --stream arm")
     p.add_argument("--moe", action="store_true",
                    help="13.6B-total Mixtral-shaped MoE through the "
                    "stacked-expert kernel dispatch instead of the dense "
@@ -158,6 +165,45 @@ def main():
             flush=True,
         )
         return n_tokens / decode_t, n_tokens / total_t
+
+    def run_stream(mixed: bool, chunk: int):
+        """Closed-loop streaming: `--batch` requests in flight; when one
+        finishes, the next arrives immediately. Baseline admission is the
+        blocking add() (every arrival's prefill stalls ALL decode streams);
+        mixed admission is enqueue() (prefill chunks ride the decode steps).
+        Throughput = completed decode tokens / wall time."""
+        engine = BatchedEngine(
+            model, max_batch=args.batch, max_len=max_len, prefill_chunk=chunk,
+            kv_quant=kv_quant,
+        )
+        admit = engine.enqueue if mixed else engine.add
+        total = args.stream_requests
+        pending = [prompts[i % len(prompts)] for i in range(total)]
+        # Warm all programs (prefill chunks, mixed step, decode bursts).
+        for p_ in prompts[: min(2, len(pending))]:
+            admit(p_, max_new_tokens=8)
+        engine.run_to_completion(burst=args.burst)
+        rids = []
+        t0 = time.time()
+        while len(rids) < total or engine._has_work():
+            while len(rids) < total and engine.can_add():
+                rids.append(admit(pending[len(rids)], max_new_tokens=args.new_tokens))
+            engine.serve_step(args.burst)
+        dt = time.time() - t0
+        n_tokens = sum(len(engine.result(r)) for r in rids)
+        tag = "stream mixed(enqueue)" if mixed else "stream blocking(add)"
+        print(
+            f"{tag:28s}: {total} reqs, {n_tokens} tokens in {dt:.2f}s "
+            f"({n_tokens/dt:.1f} tok/s)",
+            flush=True,
+        )
+        return n_tokens / dt
+
+    if args.stream:
+        base = run_stream(mixed=False, chunk=args.batched_chunk)
+        mixed = run_stream(mixed=True, chunk=args.batched_chunk)
+        print(f"mixed-interleaving streaming speedup: {mixed/base:.2f}x")
+        return
 
     if args.stepwise:
         step_tps, _ = run(None)

@@ -40,9 +40,19 @@ class _Request:
     max_new_tokens: int
     tokens: List[int]
     done: bool = False
-    # Original prompt ids — kept only by engines that may need to recompute
-    # the sequence (PagedEngine preemption); None in the dense engine.
+    # Original prompt ids — kept by engines that may need to recompute the
+    # sequence (PagedEngine preemption) and by enqueue()'d requests whose
+    # prefill is still pending; None otherwise.
     prompt: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class _PrefillState:
+    """An admitted request whose prompt is prefilled chunk-by-chunk,
+    interleaved with decode (mixed steps)."""
+
+    req: _Request
+    next_chunk: int = 0
 
 
 class BatchedEngine:
@@ -89,6 +99,8 @@ class BatchedEngine:
         self._free = list(range(max_batch))
         self._requests: Dict[int, _Request] = {}
         self._by_slot: Dict[int, _Request] = {}
+        self._prefill_by_slot: Dict[int, _PrefillState] = {}
+        self._queue: List[_Request] = []  # enqueue()'d, awaiting a free slot
         self._next_rid = 0
         from .sampling import greedy
 
@@ -151,6 +163,23 @@ class BatchedEngine:
             last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             return last, cache
 
+        @jax.jit
+        def _mixed_chunk(state, ids, cache, pos, last_idx, key):
+            # One MIXED step: prefilling rows carry their next prompt chunk,
+            # decoding rows carry [last_tok, 0, ...] (their real token at
+            # column 0, garbage after — the same [B, C] program either way,
+            # so decode tokens ride the prefill chunk at no extra program
+            # cost). `last_idx` selects each row's logits column (the last
+            # real prompt token for a finishing prefill row, 0 for a decode
+            # row); sampling happens in-program so the host fetches ONE [B]
+            # token vector per chunk.
+            m = nnx.merge(graphdef, state)
+            logits, cache = m(ids, cache, pos)
+            idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
+            last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+            nxt = self._sample(last, key).astype(jnp.int32)
+            return nxt, cache
+
         @functools.partial(jax.jit, static_argnames=("n",))
         def _burst(state, toks, cache, pos, key, n):
             # n decode steps for every slot in ONE device call (lax.scan):
@@ -179,6 +208,7 @@ class BatchedEngine:
         self._step_fn = _step
         self._burst_fn = _burst
         self._prefill_batch_chunk_fn = _prefill_batch_chunk
+        self._mixed_fn = _mixed_chunk
         self._slot_cache_template = None
 
     def _prefill_into(self, slot_cache, prompt, start_pos: int = 0):
@@ -412,6 +442,135 @@ class BatchedEngine:
         rids_serial = [self.add(p, m) for p, m in serial]
         return rids_batched + rids_serial
 
+    # --- mixed prefill/decode scheduling (chunked-prefill interleaving) -------
+
+    def enqueue(self, prompt_ids, max_new_tokens: int = 64) -> int:
+        """Admit a request WITHOUT prefilling it: its prompt is consumed in
+        fixed-size chunks by `serve_step()`, each chunk sharing one device
+        program with the active slots' decode step — so a new arrival never
+        stalls the decode streams (the long-context e2e fix: `add()` drains
+        the whole prompt before any active slot decodes again).
+
+        Requires `prefill_chunk`; prompts whose padded length would spill
+        past `max_len` fall back to blocking `add()`. Returns the request id
+        immediately even when no slot is free (the request waits in an
+        admission queue)."""
+        C = self.prefill_chunk
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if len(prompt) + max_new_tokens > self.max_len:
+            raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        if C is None or -(-len(prompt) // C) * C > self.max_len:
+            return self.add(prompt, max_new_tokens)
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, -1, len(prompt), max_new_tokens, [], prompt=prompt)
+        self._requests[rid] = req
+        self._queue.append(req)
+        self._admit_queued()
+        return rid
+
+    def _admit_queued(self) -> None:
+        while self._queue and self._free:
+            req = self._queue.pop(0)
+            slot = self._free.pop()
+            req.slot = slot
+            self._pos[slot] = 0
+            self._last_tok[slot] = 0
+            self._prefill_by_slot[slot] = _PrefillState(req)
+
+    def _mixed_ok(self) -> bool:
+        """Mixed steps write a garbage chunk at every row's parked position;
+        a DECODING row too close to the cache end cannot absorb that
+        (dynamic_update_slice would clamp onto its real entries). Prefilling
+        rows are safe by the enqueue() participation gate."""
+        C = self.prefill_chunk
+        return all(int(self._pos[s]) <= self.max_len - C for s in self._by_slot)
+
+    def _mixed_chunk_step(self) -> Dict[int, int]:
+        """ONE mixed step: every prefilling row advances one prompt chunk,
+        every decoding row emits one token — a single [B, C] device program
+        plus a single [B] token fetch. Returns {rid: token} for rows that
+        produced a token (decode rows + prefill rows that just finished)."""
+        C = self.prefill_chunk
+        B = self.max_batch
+        ids = np.zeros((B, C), np.int32)
+        pos = np.array(
+            [min(int(self._pos[s]), self.max_len - C) for s in range(B)], np.int32
+        )
+        last_idx = np.zeros((B,), np.int32)
+        finals = set()
+        for slot, st in self._prefill_by_slot.items():
+            p = st.req.prompt
+            c0 = st.next_chunk * C
+            chunk = p[c0 : c0 + C]
+            ids[slot, : len(chunk)] = chunk
+            pos[slot] = c0
+            if c0 + len(chunk) >= len(p):
+                last_idx[slot] = len(chunk) - 1
+                finals.add(slot)
+            st.next_chunk += 1
+        for slot, req in self._by_slot.items():
+            ids[slot, 0] = self._last_tok[slot]
+            pos[slot] = self._pos[slot]
+        self._key, sub = jax.random.split(self._key)
+        nxt, self._cache = self._run(
+            self._mixed_fn, self._state, jnp.asarray(ids), self._cache,
+            jnp.asarray(pos), jnp.asarray(last_idx), sub,
+        )
+        nxt = np.asarray(jax.device_get(nxt))
+        out: Dict[int, int] = {}
+        for slot, req in list(self._by_slot.items()):
+            tok = int(nxt[slot])
+            req.tokens.append(tok)
+            out[req.rid] = tok
+            self._pos[slot] += 1
+            self._last_tok[slot] = tok
+            self._maybe_finish(req, tok)
+        for slot, st in list(self._prefill_by_slot.items()):
+            req = st.req
+            if slot in finals:
+                del self._prefill_by_slot[slot]
+                tok = int(nxt[slot])
+                self._pos[slot] = req.prompt_len
+                self._last_tok[slot] = tok
+                req.tokens.append(tok)
+                out[req.rid] = tok
+                self._by_slot[slot] = req
+                self._maybe_finish(req, tok)
+            else:
+                self._pos[slot] = st.next_chunk * C
+        return out
+
+    def serve_step(self, burst: Optional[int] = None):
+        """One scheduling quantum: admit queued requests, then either a mixed
+        prefill+decode chunk (when prefill work is pending) or a decode
+        quantum (a power-of-two burst, or a single step)."""
+        self._admit_queued()
+        if self._prefill_by_slot:
+            if self._mixed_ok():
+                return self._mixed_chunk_step()
+            # A decode row within C of max_len blocks garbage chunk writes:
+            # single-step it until it finishes (it is about to, by the
+            # admission-time max_len validation).
+            return self.step()
+        return self._decode_quantum(burst)
+
+    def _decode_quantum(self, burst: Optional[int]):
+        if not self._by_slot:
+            # Only queued/preempted work remains: step() lets PagedEngine
+            # readmit; the dense engine returns {} (admission needs a slot).
+            return self.step() if self._has_work() else {}
+        if burst is None:
+            return self.step()
+        n = min(
+            burst,
+            min(r.max_new_tokens - len(r.tokens) for r in self._by_slot.values()),
+        )
+        n = 1 << (n.bit_length() - 1) if n > 0 else 0  # floor to power of two
+        if n <= 1:
+            return self.step()
+        return self.decode_burst(n)
+
     def _maybe_finish(self, req: _Request, tok: int) -> None:
         if req.done:
             return
@@ -501,28 +660,13 @@ class BatchedEngine:
         active request's remaining budget so no sequence overshoots its
         max_new_tokens. Burst sizes are bucketed to powers of two (each
         distinct size is a separate compiled program; bucketing caps the
-        program count at log2(burst) instead of one per tail length)."""
+        program count at log2(burst) instead of one per tail length).
+        Pending `enqueue()`'d prefills interleave as mixed chunk steps."""
         while self._has_work():
-            if not self._by_slot:
-                # Only preempted requests remain (PagedEngine): step() will
-                # readmit them (or raise if the pool can never fit one).
-                self.step()
-                continue
-            if burst is None:
-                self.step()
-                continue
-            n = min(
-                burst,
-                min(r.max_new_tokens - len(r.tokens) for r in self._by_slot.values()),
-            )
-            n = 1 << (n.bit_length() - 1) if n > 0 else 0  # floor to power of two
-            if n <= 1:
-                self.step()
-            else:
-                self.decode_burst(n)
+            self.serve_step(burst)
 
     def _has_work(self) -> bool:
-        return bool(self._by_slot)
+        return bool(self._by_slot) or bool(self._queue) or bool(self._prefill_by_slot)
 
 
 class PagedEngine(BatchedEngine):
@@ -834,7 +978,14 @@ class PagedEngine(BatchedEngine):
         self._cache = self._with_table(self._cache, self._table)
 
     def _has_work(self) -> bool:
-        return bool(self._by_slot) or bool(self._pending)
+        return super()._has_work() or bool(self._pending)
+
+    def enqueue(self, prompt_ids, max_new_tokens: int = 64) -> int:
+        # Mixed chunk steps write a garbage chunk through EVERY row's page
+        # table, which the paged allocator does not reserve pages for (the
+        # same reason add_batch stays serial here); blocking add() preserves
+        # correctness.
+        return self.add(prompt_ids, max_new_tokens)
 
     def step(self) -> Dict[int, int]:
         self._try_readmit()

@@ -408,3 +408,97 @@ def test_engine_with_stacked_moe_model():
     # tokens should agree on the vast majority of steps at this scale.
     agree = sum(a == b for ref, out in zip(refs, got) for a, b in zip(ref, out))
     assert agree >= 6, (refs, got)
+
+
+# --- mixed prefill/decode scheduling (enqueue + serve_step) ----------------
+
+
+def test_enqueue_matches_reference(model):
+    """enqueue()'d requests (chunked prefill via mixed steps) decode the
+    exact same tokens as single-sequence generation."""
+    rng = np.random.RandomState(10)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9, 3, 12)]
+    n_new = 6
+    refs = [_ref_generate(model, p, n_new) for p in prompts]
+    engine = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    rids = [engine.enqueue(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert engine.is_done(rid)
+        assert engine.result(rid) == ref
+
+
+def test_enqueue_does_not_stall_decode(model):
+    """A request enqueued while others decode advances THEIR decode on every
+    mixed chunk step: after the new prompt's prefill chunks are consumed, the
+    active rows have produced one token per chunk — and all tokens match the
+    reference."""
+    rng = np.random.RandomState(11)
+    p1 = rng.randint(0, 128, 6).tolist()
+    p2 = rng.randint(0, 128, 4).tolist()
+    p3 = rng.randint(0, 128, 12).tolist()  # 3 chunks of 4
+    n = 8
+    ref1 = _ref_generate(model, p1, n)
+    ref2 = _ref_generate(model, p2, n)
+    ref3 = _ref_generate(model, p3, n)
+    engine = BatchedEngine(model, max_batch=4, max_len=32, prefill_chunk=4)
+    r1 = engine.add(p1, max_new_tokens=n)
+    r2 = engine.add(p2, max_new_tokens=n)
+    engine.step()  # both mid-decode (2 tokens each)
+    r3 = engine.enqueue(p3, max_new_tokens=n)
+    before = {r1: len(engine.result(r1)), r2: len(engine.result(r2))}
+    # Drain p3's three prefill chunks as mixed steps: decode rows advance too.
+    for _ in range(3):
+        out = engine.serve_step()
+        assert r1 in out and r2 in out  # decode rode the chunk program
+    assert len(engine.result(r1)) == before[r1] + 3
+    assert r3 in out  # final chunk emitted p3's first token
+    engine.run_to_completion(burst=4)
+    assert engine.result(r1) == ref1
+    assert engine.result(r2) == ref2
+    assert engine.result(r3) == ref3
+
+
+def test_enqueue_overflow_waits_for_slot(model):
+    """More enqueues than slots: the overflow waits in the admission queue
+    and still decodes correctly once a slot frees."""
+    rng = np.random.RandomState(12)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 7, 4)]
+    refs = [_ref_generate(model, p, 4) for p in prompts]
+    engine = BatchedEngine(model, max_batch=2, max_len=32, prefill_chunk=4)
+    rids = [engine.enqueue(p, max_new_tokens=4) for p in prompts]
+    assert not engine.is_done(rids[2])
+    engine.run_to_completion(burst=4)
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref
+
+
+def test_enqueue_near_capacity_decode_row(model):
+    """A decoding row within C of max_len blocks mixed garbage writes:
+    serve_step falls back to plain decode steps until it finishes, then the
+    pending prefill proceeds — tokens stay exact throughout."""
+    rng = np.random.RandomState(13)
+    p1 = rng.randint(0, 128, 10).tolist()
+    n1 = 5  # 10 + 5 = 15 > max_len - C = 16 - 8 = 8 -> _mixed_ok False
+    p2 = rng.randint(0, 128, 6).tolist()
+    ref1 = _ref_generate(model, p1, n1)
+    ref2 = _ref_generate(model, p2, 3)
+    engine = BatchedEngine(model, max_batch=2, max_len=16, prefill_chunk=8)
+    r1 = engine.add(p1, max_new_tokens=n1)
+    r2 = engine.enqueue(p2, max_new_tokens=3)
+    assert not engine._mixed_ok()
+    engine.run_to_completion()
+    assert engine.result(r1) == ref1
+    assert engine.result(r2) == ref2
+
+
+def test_enqueue_spilling_prompt_falls_back_to_add(model):
+    """ceil(len/C)*C > max_len: enqueue falls back to blocking add()."""
+    rng = np.random.RandomState(14)
+    prompt = rng.randint(0, 128, size=13).tolist()  # ceil(13/8)*8 = 16 > 14
+    ref = _ref_generate(model, prompt, 1)
+    engine = BatchedEngine(model, max_batch=1, max_len=14, prefill_chunk=8)
+    rid = engine.enqueue(prompt, max_new_tokens=1)
+    assert len(engine.result(rid)) >= 1  # prefilled immediately (blocking path)
+    engine.run_to_completion()
+    assert engine.result(rid) == ref
