@@ -317,6 +317,30 @@ class LlamaAttention(nnx.Module):
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
+            from ..parallel.context import active_sp
+
+            sp = active_sp()
+            if sp is not None:
+                # Sequence-parallel serving (`sp_serving` active around this
+                # trace): the cache is sharded along S over mesh[axis]; read
+                # it with the distributed online softmax instead of a local
+                # einsum chain. Decode (T=1) and chunked prefill both route
+                # here — each query attends to global cache slots <= its
+                # position.
+                from ..parallel.context import cp_cached_attention
+
+                mesh, axis = sp
+                groups = self.num_heads // self.num_kv_heads
+                q5 = q.reshape(B, T, self.num_kv_heads, groups, self.head_dim)
+                pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
+                q_pos = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
+                out = cp_cached_attention(
+                    q5, new_cache, q_pos, self.head_dim ** -0.5, mesh, axis
+                )
+                out = self.o_proj(out)
+                if isinstance(out, QArray):
+                    out = out.dequantize()
+                return out, new_cache
             if T == 1:
                 # Fused Pallas decode attention: one kernel reads the raw
                 # cache payload + per-slot scales and writes [B, H, D] —

@@ -84,6 +84,16 @@ class BatchedEngine:
         self.max_len = max_len
         self.eos_token_id = eos_token_id
         self._mesh = mesh
+        # Sequence-parallel serving: a mesh with an "sp" axis (size > 1)
+        # shards the pooled KV cache along the SEQUENCE dim and routes model
+        # attention through `cp_cached_attention` (distributed online
+        # softmax) — a sequence whose cache outgrows one chip's HBM serves
+        # across chips. Composes with "tp" (kv heads).
+        self._sp_axis = (
+            "sp"
+            if mesh is not None and "sp" in mesh.axis_names and mesh.shape["sp"] > 1
+            else None
+        )
         # Chunked prefill: pad prompts to fixed `prefill_chunk`-token pieces
         # so ONE compiled prefill program serves every prompt length (the
         # default compiles one program per distinct length). Padding garbage
@@ -255,13 +265,24 @@ class BatchedEngine:
         return init_kv_cache(self.model.config, self.max_batch, self.max_len, kv_quant=kv_quant)
 
     def _shard_cache(self, cache, mesh):
-        """Pooled dense cache [B, S, H, D]: shard kv heads over "tp"; batch
+        """Pooled dense cache [B, S, H, D]: shard kv heads over "tp" and the
+        sequence dim over "sp" (when those axes exist with size > 1); batch
         stays replicated (slots are scattered/gathered by the host loop).
         Per-slot scale tensors [B, S, H, 1] shard congruently."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        tp = "tp" if "tp" in mesh.axis_names and mesh.shape["tp"] > 1 else None
+        sp = self._sp_axis
+
         def put(a):
-            spec = P(None, None, "tp", None) if a.ndim == 4 and a.shape[2] > 1 else P()
+            if a.ndim != 4:
+                return jax.device_put(a, NamedSharding(mesh, P()))
+            spec = P(
+                None,
+                sp if sp and a.shape[1] % mesh.shape[sp] == 0 else None,
+                tp if tp and a.shape[2] > 1 and a.shape[2] % mesh.shape[tp] == 0 else None,
+                None,
+            )
             return jax.device_put(a, NamedSharding(mesh, spec))
 
         return jax.tree_util.tree_map(put, cache)
@@ -270,6 +291,11 @@ class BatchedEngine:
         if self._mesh is None:
             return fn(*args, **kwargs)
         with self._mesh:
+            if self._sp_axis is not None:
+                from ..parallel.context import sp_serving
+
+                with sp_serving(self._mesh, self._sp_axis):
+                    return fn(*args, **kwargs)
             return fn(*args, **kwargs)
 
     # --- request lifecycle ----------------------------------------------------

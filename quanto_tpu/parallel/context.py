@@ -20,7 +20,8 @@ on the local probabilities).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import contextlib
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,36 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-__all__ = ["cp_gqa_attention", "shard_cache_seq", "cp_decode_attention"]
+__all__ = [
+    "cp_gqa_attention",
+    "shard_cache_seq",
+    "cp_decode_attention",
+    "cp_cached_attention",
+    "sp_serving",
+    "active_sp",
+]
+
+
+# Active sequence-parallel serving state: set (via `sp_serving`) around the
+# engine's jit traces so model attention layers route their cached-attention
+# reads through `cp_cached_attention`. Trace-time only — the stack is read
+# while tracing, never inside compiled code.
+_SP_STACK: List[Tuple[Mesh, str]] = []
+
+
+@contextlib.contextmanager
+def sp_serving(mesh: Mesh, axis: str = "sp"):
+    """Route model cached-attention through the sequence-sharded path while
+    tracing (used by the serving engine; usable around any jit trace)."""
+    _SP_STACK.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SP_STACK.pop()
+
+
+def active_sp() -> Optional[Tuple[Mesh, str]]:
+    return _SP_STACK[-1] if _SP_STACK else None
 
 
 def cp_gqa_attention(
@@ -108,19 +138,20 @@ def shard_cache_seq(layer_cache, mesh: Mesh, axis: str = "sp"):
     return put(ck), put(cv)
 
 
-def cp_decode_attention(
+def cp_cached_attention(
     q5: jnp.ndarray,
     layer_cache,
-    lengths: jnp.ndarray,
+    q_pos: jnp.ndarray,
     scale: float,
     mesh: Mesh,
     axis: str = "sp",
 ) -> jnp.ndarray:
-    """Decode-step attention over a sequence-sharded cache (host-level API).
+    """Causal attention over a sequence-sharded cache (host-level API).
 
-    q5 [B, 1, Hkv, G, D] replicated; `layer_cache` sharded by
-    `shard_cache_seq`; `lengths` [B] valid key counts (global positions
-    < lengths attend). Builds the per-shard validity mask from each shard's
+    q5 [B, T, Hkv, G, D] replicated; `layer_cache` sharded by
+    `shard_cache_seq`; `q_pos` [B, T] each query's global position (it
+    attends to cache slots <= its position — T=1 decode and chunked prefill
+    both reduce to this). Builds the per-shard causal mask from each shard's
     global key offsets and runs `cp_gqa_attention` under shard_map.
     """
     from ..tensor.kv_cache import QKVCacheLayer
@@ -144,11 +175,11 @@ def cp_decode_attention(
         quantized = False
     S_loc = S // sp
 
-    def body(q5, lengths, *ops):
+    def body(q5, q_pos, *ops):
         shard = lax.axis_index(axis)
         k_pos = shard * S_loc + jnp.arange(S_loc)  # global key positions
         mask = jnp.where(
-            k_pos[None, None, None, :] < lengths[:, None, None, None],
+            k_pos[None, None, None, :] <= q_pos[:, None, :, None],
             0.0,
             jnp.finfo(jnp.float32).min,
         )
@@ -164,7 +195,6 @@ def cp_decode_attention(
             q5, ck.astype(q5.dtype), cv.astype(q5.dtype), mask, scale, axis
         )
 
-    seq_spec = P(None, axis)
     op_specs = tuple(P(None, axis, *([None] * (o.ndim - 2))) for o in operands)
     return jax.shard_map(
         body,
@@ -172,4 +202,23 @@ def cp_decode_attention(
         in_specs=(P(), P()) + op_specs,
         out_specs=P(),
         check_vma=False,
-    )(q5, lengths, *operands)
+    )(q5, q_pos, *operands)
+
+
+def cp_decode_attention(
+    q5: jnp.ndarray,
+    layer_cache,
+    lengths: jnp.ndarray,
+    scale: float,
+    mesh: Mesh,
+    axis: str = "sp",
+) -> jnp.ndarray:
+    """Decode-step attention over a sequence-sharded cache.
+
+    q5 [B, 1, Hkv, G, D] replicated; `lengths` [B] valid key counts (global
+    positions < lengths attend). Thin wrapper over `cp_cached_attention`
+    with q_pos = lengths - 1.
+    """
+    return cp_cached_attention(
+        q5, layer_cache, (lengths - 1)[:, None], scale, mesh, axis
+    )

@@ -502,3 +502,53 @@ def test_enqueue_spilling_prompt_falls_back_to_add(model):
     assert len(engine.result(rid)) >= 1  # prefilled immediately (blocking path)
     engine.run_to_completion()
     assert engine.result(rid) == ref
+
+
+# --- sequence-parallel (sp) serving ----------------------------------------
+
+
+def _sp_engine_tokens(model, mesh, prompts, n_new, kv_quant=None, burst=None):
+    engine = BatchedEngine(
+        model, max_batch=4, max_len=32, mesh=mesh, kv_quant=kv_quant,
+        prefill_chunk=4,
+    )
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion(burst=burst)
+    return [engine.result(r) for r in rids]
+
+
+def test_sp_engine_matches_unsharded(model):
+    """An engine over a mesh with an "sp" axis shards the pooled cache along
+    S and decodes through cp_cached_attention — tokens must match the
+    unsharded engine exactly (the distributed online softmax is exact)."""
+    from quanto_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(20)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9, 12)]
+    n_new = 6
+    refs = [_ref_generate(model, p, n_new) for p in prompts]
+    mesh = make_mesh({"sp": 4, "x": 2})
+    toks = _sp_engine_tokens(model, mesh, prompts, n_new)
+    assert toks == refs
+
+
+def test_sp_engine_quantized_cache_and_burst(model):
+    """sp serving over a QUANTIZED sequence-sharded cache, drained with
+    scanned bursts and mixed chunked prefill (enqueue)."""
+    from quanto_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(21)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (7, 11)]
+    n_new = 5
+    mesh = make_mesh({"sp": 8})
+    engine = BatchedEngine(
+        model, max_batch=2, max_len=32, mesh=mesh, kv_quant="qint8",
+        prefill_chunk=4,
+    )
+    ref_engine = BatchedEngine(model, max_batch=2, max_len=32, kv_quant="qint8")
+    rr = [ref_engine.add(p, max_new_tokens=n_new) for p in prompts]
+    ref_engine.run_to_completion()
+    rids = [engine.enqueue(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion(burst=4)
+    for rid, r in zip(rids, rr):
+        assert engine.result(rid) == ref_engine.result(r)
