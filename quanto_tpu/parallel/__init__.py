@@ -1,8 +1,16 @@
 from .distributed import global_mesh, initialize
 from .elastic import ElasticCheckpointer, Watchdog, barrier_probe, supervise
-from .context import cp_decode_attention, cp_gqa_attention, shard_cache_seq
+from .context import (
+    active_sp,
+    cp_cached_attention,
+    cp_decode_attention,
+    cp_gqa_attention,
+    shard_cache_seq,
+    sp_serving,
+)
 from .pipeline import PipelinedLlama, pipeline_model
 from .moe import (
+    EPDeepseekMoE,
     EPSparseMoeBlock,
     GatheredSparseMoeBlock,
     StackedDeepseekMoE,

@@ -45,6 +45,7 @@ from ..tensor.weights import WeightQBitsTpuArray, WeightQBytesArray
 
 
 __all__ = [
+    "EPDeepseekMoE",
     "EPSparseMoeBlock",
     "GatheredSparseMoeBlock",
     "StackedSparseMoeBlock",
@@ -211,26 +212,45 @@ class EPSparseMoeBlock(nnx.Module):
         # Round up to a sublane multiple so gathered tiles stay TPU-friendly.
         return min(n_tokens, -8 * (-c // 8)) if n_tokens >= 8 else c
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _route(self, x: jnp.ndarray):
+        """[B, T, H] -> (top_i [S, K] int, top_p [S, K] f32 combine weights);
+        the mixtral/qwen family rule. DeepSeek's sigmoid/group router
+        overrides (EPDeepseekMoE)."""
         B, T, H = x.shape
-        S = B * T
-        E = self.num_experts
-        ep = self.mesh.shape[self.ep_axis]
-        local_e = E // ep
-        cap = self._capacity(S)
-
         logits = _maybe_deq(self.gate(x)).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
         top_p, top_i = jax.lax.top_k(probs, self.top_k)
         if self.norm_topk_prob:
             top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+        S = B * T
+        return top_i.reshape(S, self.top_k), top_p.reshape(S, self.top_k)
+
+    def _combine_shared(self, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+        if self.shared_expert is not None:
+            shared = _maybe_deq(self.shared_expert(x))
+            gate = jax.nn.sigmoid(
+                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
+            )
+            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
+        return out
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, H = x.shape
+        S = B * T
+        E = self.num_experts
+        K = self.top_k
+        ep = self.mesh.shape[self.ep_axis]
+        local_e = E // ep
+        cap = self._capacity(S)
+
+        top_i, top_p = self._route(x)  # [S, K] each
         mask = jnp.sum(
             jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
             axis=-2,
-        )  # [B, T, E]
+        )  # [S, E]
 
         xf = x.reshape(S, H)
-        maskf = mask.reshape(S, E)
+        maskf = mask
 
         projs = (self.proj_gate, self.proj_up, self.proj_down)
         leaves = tuple(p.leaves() for p in projs)
@@ -239,7 +259,7 @@ class EPSparseMoeBlock(nnx.Module):
             for ls in leaves
         )
 
-        def kernel_dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
+        def kernel_dispatch(xf, maskf, top_i_f, top_p_f, g_leaves, u_leaves, d_leaves):
             """Per-shard stacked-kernel path (`ops/pallas/moe_mm`): the local
             expert index lives inside the Pallas grid, so no `data[j]` XLA
             slices (each of which materializes an HBM copy of the expert's
@@ -254,11 +274,42 @@ class EPSparseMoeBlock(nnx.Module):
                 return None
             interp = ops_config.pallas_interpret()
 
-            def mm(kind, xv, proj, ls):
+            def mm(kind, xv, proj, ls, eids=None):
                 kw = dict(k_shards=getattr(proj, "k_shards", 1), interpret=interp)
+                if kind == "sel":
+                    return moe_mm.qbits_moe_sel_call(
+                        xv, eids, *ls, proj.qtype.bits, proj.group_size, **kw
+                    )
                 f = moe_mm.qbits_moe_all_call if kind == "all" else moe_mm.qbits_moe_prefill_call
                 return f(xv, *ls, proj.qtype.bits, proj.group_size, **kw)
 
+            if S * K < E and S * K <= moe_mm._SEL_MAX:
+                # SELECTIVE per-shard decode (the V3 regime: top-8 of 256
+                # routed over ep shards). Each shard keeps the routed pairs
+                # whose expert lives in its slab (eids localized by the slab
+                # offset); foreign pairs collapse onto local expert 0 with
+                # zero combine weight (their stream is bounded by the tiny
+                # pair count), and the psum over "ep" combines shards —
+                # exact, and only the ROUTED experts' weights ever leave HBM.
+                shard = jax.lax.axis_index(self.ep_axis)
+                lo = shard * local_e
+                eids = top_i_f.reshape(S * K)
+                w = top_p_f.reshape(S * K)
+                local = (eids >= lo) & (eids < lo + local_e)
+                eids_l = jnp.where(local, eids - lo, 0).astype(jnp.int32)
+                w = jnp.where(local, w, 0.0)
+                order = jnp.argsort(eids_l)
+                inv = jnp.argsort(order)
+                x_sel = jnp.take(jnp.repeat(xf, K, axis=0), order, axis=0)
+                eids_s = jnp.take(eids_l, order)
+                g = mm("sel", x_sel, projs[0], g_leaves, eids_s)
+                u = mm("sel", x_sel, projs[1], u_leaves, eids_s) if g is not None else None
+                if u is not None:
+                    h = (jax.nn.silu(g) * u).astype(x.dtype)
+                    d = mm("sel", h, projs[2], d_leaves, eids_s)
+                    if d is not None:
+                        d = jnp.take(d, inv, axis=0)  # back to pair order
+                        return (w[:, None] * d).reshape(S, K, H).sum(axis=1)
             if S <= 512 and (cap >= S or S <= 32):
                 # All-experts branch is VMEM-resident (see the stacked
                 # block): bounded S only; bigger S takes the tiled gather.
@@ -295,8 +346,8 @@ class EPSparseMoeBlock(nnx.Module):
                 acc = acc.at[idx[j]].add(top_v[j][:, None] * d3[j])
             return acc
 
-        def dispatch(xf, maskf, g_leaves, u_leaves, d_leaves):
-            acc = kernel_dispatch(xf, maskf, g_leaves, u_leaves, d_leaves)
+        def dispatch(xf, maskf, top_i_f, top_p_f, g_leaves, u_leaves, d_leaves):
+            acc = kernel_dispatch(xf, maskf, top_i_f, top_p_f, g_leaves, u_leaves, d_leaves)
             if acc is None:
                 acc = jnp.zeros((S, H), jnp.float32)
                 for j in range(local_e):
@@ -320,20 +371,13 @@ class EPSparseMoeBlock(nnx.Module):
         out = jax.shard_map(
             dispatch,
             mesh=self.mesh,
-            in_specs=(P(), P(None, self.ep_axis)) + leaf_specs,
+            in_specs=(P(), P(None, self.ep_axis), P(), P()) + leaf_specs,
             out_specs=P(),
             axis_names={self.ep_axis},
             check_vma=False,  # pallas out_shapes carry no vma annotation
-        )(xf, maskf, *leaves)
+        )(xf, maskf, top_i, top_p, *leaves)
         out = out.astype(x.dtype).reshape(B, T, H)
-
-        if self.shared_expert is not None:
-            shared = _maybe_deq(self.shared_expert(x))
-            gate = jax.nn.sigmoid(
-                _maybe_deq(self.shared_expert_gate(x)).astype(jnp.float32)
-            )
-            out = out + (gate * shared.astype(jnp.float32)).astype(x.dtype)
-        return out
+        return self._combine_shared(x, out)
 
 
 class GatheredSparseMoeBlock(nnx.Module):
@@ -701,6 +745,53 @@ class StackedDeepseekMoE(StackedSparseMoeBlock):
         return out + _maybe_deq(self.shared_experts(x)).astype(out.dtype)
 
 
+class EPDeepseekMoE(EPSparseMoeBlock):
+    """Expert-parallel DeepSeek-V3 MoE: the stacked [E, ...] sub-byte expert
+    arrays shard over "ep" (per-device slabs of E/ep experts — at V3 scale,
+    256 routed experts' int4 weights exceed one chip's HBM), the sigmoid/
+    group-limited router runs replicated, and decode takes the per-shard
+    SELECTIVE path (each shard streams only the routed pairs in its slab;
+    psum combines). Shared experts run replicated like the attention."""
+
+    def __init__(
+        self,
+        block,
+        mesh: Mesh,
+        *,
+        ep_axis: str = "ep",
+        capacity_factor: Optional[float] = 2.0,
+    ):
+        # block: models.deepseek_v3.DeepseekV3MoE
+        ep = mesh.shape[ep_axis]
+        if block.n_routed_experts % ep != 0:
+            raise ValueError(
+                f"{block.n_routed_experts} experts do not divide over ep={ep} devices"
+            )
+        self.mesh = mesh
+        self.ep_axis = ep_axis
+        self.capacity_factor = capacity_factor
+        self.num_experts = block.n_routed_experts
+        self.top_k = block.gate.top_k
+        self.norm_topk_prob = False  # router handles its own normalization
+        self.gate = block.gate
+        self.shared_expert = None
+        self.shared_expert_gate = None
+        self.shared_experts = block.shared_experts
+        experts = list(block.experts)
+        names = ("gate_proj", "up_proj", "down_proj")
+        self.proj_gate = _StackedProj([_expert_weight(getattr(e, names[0])) for e in experts], mesh, ep_axis)
+        self.proj_up = _StackedProj([_expert_weight(getattr(e, names[1])) for e in experts], mesh, ep_axis)
+        self.proj_down = _StackedProj([_expert_weight(getattr(e, names[2])) for e in experts], mesh, ep_axis)
+
+    def _route(self, x: jnp.ndarray):
+        B, T, H = x.shape
+        top_i, top_w = self.gate(x.reshape(-1, H))  # [S, K] each
+        return top_i, top_w.astype(jnp.float32)
+
+    def _combine_shared(self, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+        return out + _maybe_deq(self.shared_experts(x)).astype(out.dtype)
+
+
 class StackedGptOssMoE(StackedSparseMoeBlock):
     """GPT-OSS variant: the HF checkpoint stores experts as FUSED bf16
     Params ([E, H, 2I] interleaved gate/up + [E, I, H] down, all biased) —
@@ -908,12 +999,19 @@ def convert_moe_to_ep(
     capacity_factor: Optional[float] = 2.0,
 ) -> int:
     """Replace every dense-mask sparse MoE block in `model` with an
-    `EPSparseMoeBlock` sharded over `mesh[ep_axis]`. Returns the number of
-    blocks converted. Apply AFTER quantize/freeze/load; re-apply sharding
-    rules for the non-MoE weights separately (`shard_model`)."""
-    return _convert_moe(
-        model,
-        lambda b: EPSparseMoeBlock(
-            b, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
-        ),
-    )
+    `EPSparseMoeBlock` (or `EPDeepseekMoE` for DeepSeek-V3's sigmoid-routed
+    blocks) sharded over `mesh[ep_axis]`. Returns the number of blocks
+    converted. Apply AFTER quantize/freeze/load; re-apply sharding rules for
+    the non-MoE weights separately (`shard_model`)."""
+    from ..models.deepseek_v3 import DeepseekV3MoE
+
+    def make(block):
+        if isinstance(block, DeepseekV3MoE):
+            return EPDeepseekMoE(
+                block, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
+            )
+        return EPSparseMoeBlock(
+            block, mesh, ep_axis=ep_axis, capacity_factor=capacity_factor
+        )
+
+    return _convert_moe(model, make, extra_types=(DeepseekV3MoE,))
