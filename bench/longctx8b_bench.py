@@ -52,10 +52,12 @@ def main():
     graphdef, state = nnx.split(model)
     B, new = 4, 32
 
-    def run(ctx, kv_quant, bf16_softmax=False):
+    def run(ctx, kv_quant, bf16_softmax=False, asym_fused=None):
         # Explicit boolean: None means "auto/env" and an inherited
         # QUANTO_TPU_BF16_SOFTMAX=1 would taint the f32 baseline arms.
-        ops_config.set_backend(bf16_softmax=bool(bf16_softmax))
+        ops_config.set_backend(
+            bf16_softmax=bool(bf16_softmax), asym_fused=asym_fused
+        )
         try:
             decode = make_decode_fn(graphdef, new)
             cache = init_kv_cache(cfg, B, ctx, kv_quant=kv_quant)
@@ -93,6 +95,16 @@ def main():
     for kv in ("k8v4", "qint4a"):
         long_ms = run(8192, kv, bf16_softmax=True)
         log(f"  attention delta vs ctx512/int8: +{long_ms - short:.2f} ms/step")
+    # Asymmetric-epilogue fusion A/B (round 5, VERDICT #5): the fused
+    # formulation (chain-dtype k-term + einsum v-correction) vs the round-4
+    # f32 side-pass — the ~1.8 ms/step correction cost this targets.
+    for kv in ("qint4a", "k8v4a"):
+        fused_ms = run(8192, kv, bf16_softmax=True, asym_fused=True)
+        unfused_ms = run(8192, kv, bf16_softmax=True, asym_fused=False)
+        log(
+            f"  {kv} asym-fused {fused_ms:.2f} vs side-pass {unfused_ms:.2f} "
+            f"ms/step ({unfused_ms / fused_ms:.2f}x)"
+        )
 
 
 if __name__ == "__main__":

@@ -112,9 +112,19 @@ def gqa_attention(
         # Rank-1 shift term: m_k[s] * sum_d q[b,q,h,g,d].
         qsum = jnp.sum(q5.astype(jnp.float32), axis=-1)  # [B, T, Hkv, G]
         qsum = jnp.transpose(qsum, (0, 2, 3, 1))[..., None]  # [B, Hkv, G, T, 1]
-        logits = logits + (qsum * _slot_scale_t(k_shift, jnp.float32)).astype(
-            logits.dtype
-        )
+        if ops_config.use_asym_fused():
+            # Compute in the CHAIN dtype: the product then joins the logits
+            # elementwise epilogue (scale-mul / mask-add) in ONE fused pass
+            # instead of materializing an f32 [.., S] side array. Exact when
+            # the chain is f32; bf16-chain rounding matches the chain's own
+            # regime.
+            logits = logits + qsum.astype(logits.dtype) * _slot_scale_t(
+                k_shift, logits.dtype
+            )
+        else:
+            logits = logits + (qsum * _slot_scale_t(k_shift, jnp.float32)).astype(
+                logits.dtype
+            )
     if alibi is not None:
         logits = logits + alibi.reshape(B, Hkv, G, 1, -1).astype(logits.dtype)
     logits = logits * jnp.asarray(scale, logits.dtype)
@@ -146,11 +156,21 @@ def gqa_attention(
         if v_shift is not None:
             # Rank-1 shift term: (p . m_v) broadcast over D (normalization
             # below covers it too, since it divides the whole sum).
-            corr = jnp.sum(
-                raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
-                axis=-1,
-            )  # [B, Hkv, G, T]
-            out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None]
+            if ops_config.use_asym_fused():
+                # MXU matvec over the ALREADY-materialized probabilities
+                # (~1/D of the AV einsum cost) instead of an f32
+                # broadcast-multiply + full-S reduction side pass.
+                corr = jnp.einsum(
+                    "bhgqk,bkh->bqhg", raw_p, v_shift[..., 0].astype(raw_p.dtype),
+                    preferred_element_type=jnp.float32,
+                )  # [B, T, Hkv, G]
+                out = out + corr[..., None]
+            else:
+                corr = jnp.sum(
+                    raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
+                    axis=-1,
+                )  # [B, Hkv, G, T]
+                out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None]
         out = (out / jnp.transpose(s, (0, 3, 1, 2, 4))).astype(out_dtype)
     else:
         if snk is not None:
@@ -169,11 +189,18 @@ def gqa_attention(
         probs = probs.astype(out_dtype)
         out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
         if v_shift is not None:
-            corr = jnp.sum(
-                raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
-                axis=-1,
-            )  # [B, Hkv, G, T]
-            out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None].astype(out.dtype)
+            if ops_config.use_asym_fused():
+                corr = jnp.einsum(
+                    "bhgqk,bkh->bqhg", raw_p, v_shift[..., 0].astype(raw_p.dtype),
+                    preferred_element_type=jnp.float32,
+                )  # [B, T, Hkv, G]
+                out = out + corr[..., None].astype(out.dtype)
+            else:
+                corr = jnp.sum(
+                    raw_p.astype(jnp.float32) * _slot_scale_t(v_shift, jnp.float32),
+                    axis=-1,
+                )  # [B, Hkv, G, T]
+                out = out + jnp.transpose(corr, (0, 3, 1, 2))[..., None].astype(out.dtype)
     return out.reshape(B, T, Hkv * G * D)
 
 def try_flash_prefill(
