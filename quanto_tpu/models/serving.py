@@ -29,7 +29,7 @@ import numpy as np
 from flax import nnx
 
 
-__all__ = ["BatchedEngine", "PagedEngine"]
+__all__ = ["BatchedEngine", "DistributedEngine", "PagedEngine"]
 
 
 @dataclasses.dataclass
@@ -116,6 +116,17 @@ class BatchedEngine:
 
         self._sample = sample_fn or greedy
         self._key = jax.random.PRNGKey(0)
+
+        sample = self._sample
+
+        @jax.jit
+        def _sample_only(logits, key):
+            # Sampling as a device program (not a host-eager op): on a
+            # multi-process mesh, eager ops on non-fully-addressable logits
+            # are illegal — DistributedEngine routes through this.
+            return sample(logits, key).astype(jnp.int32)
+
+        self._sample_only_fn = _sample_only
 
         graphdef = self._graphdef
 
@@ -298,6 +309,15 @@ class BatchedEngine:
                     return fn(*args, **kwargs)
             return fn(*args, **kwargs)
 
+    def _fetch(self, x) -> np.ndarray:
+        """Bring a device result to the host. DistributedEngine overrides
+        with the multi-process-safe version."""
+        return np.asarray(jax.device_get(x))
+
+    def _sample_host(self, logits, key) -> np.ndarray:
+        """Sample on device, fetch tokens to host ([B] int32)."""
+        return self._fetch(self._run(self._sample_only_fn, logits, key))
+
     # --- request lifecycle ----------------------------------------------------
 
     def can_add(self) -> bool:
@@ -326,7 +346,7 @@ class BatchedEngine:
             slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
         last_logits, slot_cache = self._prefill_into(slot_cache, prompt)
         self._key, sub = jax.random.split(self._key)
-        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
+        first_tok = int(self._sample_host(last_logits, sub)[0])
         self._cache = self._run(self._scatter_fn, self._cache, slot_cache, slot)
         self._pos[slot] = len(prompt)
         self._last_tok[slot] = first_tok
@@ -445,15 +465,13 @@ class BatchedEngine:
                     # blocking round-trip per chunk.
                     pending.append((last, keep))
             for last, keep in pending:
-                last_host = np.asarray(jax.device_get(last))
+                last_host = self._fetch(last)
                 for s in keep:
                     last_logits[by_slot_row[s]] = last_host[s]
             for i, ((p, m), slot) in enumerate(zip(batched, slots)):
                 self._key, sub = jax.random.split(self._key)
                 first_tok = int(
-                    jax.device_get(
-                        self._sample(jnp.asarray(last_logits[i][None, :]), sub)[0]
-                    )
+                    self._sample_host(jnp.asarray(last_logits[i][None, :]), sub)[0]
                 )
                 self._pos[slot] = len(p)
                 self._last_tok[slot] = first_tok
@@ -543,7 +561,7 @@ class BatchedEngine:
             self._mixed_fn, self._state, jnp.asarray(ids), self._cache,
             jnp.asarray(pos), jnp.asarray(last_idx), sub,
         )
-        nxt = np.asarray(jax.device_get(nxt))
+        nxt = self._fetch(nxt)
         out: Dict[int, int] = {}
         for slot, req in list(self._by_slot.items()):
             tok = int(nxt[slot])
@@ -625,7 +643,7 @@ class BatchedEngine:
         pos = jnp.asarray(self._pos)
         self._key, sub = jax.random.split(self._key)
         nxt, self._cache = self._run(self._step_fn, self._state, toks, self._cache, pos, sub)
-        nxt = np.asarray(jax.device_get(nxt))
+        nxt = self._fetch(nxt)
         out: Dict[int, int] = {}
         for slot, req in list(self._by_slot.items()):
             tok = int(nxt[slot])
@@ -658,7 +676,7 @@ class BatchedEngine:
         out_toks, self._cache, self._key = self._run(
             self._burst_fn, self._state, toks, self._cache, pos, self._key, n=n
         )
-        out_toks = np.asarray(jax.device_get(out_toks))  # [B, n]
+        out_toks = self._fetch(out_toks)  # [B, n]
         out: Dict[int, List[int]] = {}
         for slot, req in list(self._by_slot.items()):
             taken: List[int] = []
@@ -844,7 +862,7 @@ class PagedEngine(BatchedEngine):
         slot, last_logits = self._admit(prompt, reserve_tokens)
 
         self._key, sub = jax.random.split(self._key)
-        first_tok = int(jax.device_get(self._sample(last_logits, sub)[0]))
+        first_tok = int(self._sample_host(last_logits, sub)[0])
         self._pos[slot] = len(prompt)
         self._last_tok[slot] = first_tok
         rid = self._next_rid
@@ -1034,3 +1052,63 @@ class PagedEngine(BatchedEngine):
             # rest return to the free pool.
             self._release_slot_pages(req.slot)
             self._cache = self._with_table(self._cache, self._table)
+
+
+class DistributedEngine(BatchedEngine):
+    """Multi-host SPMD serving over a GLOBAL mesh (`parallel.global_mesh`).
+
+    Every process runs the SAME engine loop: the model is sharded over the
+    global mesh (tp across ICI, optionally sp; dp axes replicate), the
+    pooled cache shards congruently, and each jitted program executes as one
+    SPMD computation across all hosts — the multi-host analogue of the
+    single-process mesh engine (BASELINE.md scaling north star: 1 chip ->
+    1 host -> multi-host).
+
+    Correctness contract (standard SPMD serving): all processes must submit
+    IDENTICAL request streams in identical order — the host scheduler is
+    deterministic, so the program sequence stays in lockstep and every
+    process decodes identical tokens (`tests/parallel/multiproc_worker.py`
+    scenario "serving" asserts exactly this). Use `broadcast_prompts` to
+    distribute a frontend's requests from process 0.
+
+    Host fetches go through the multi-process-safe `_fetch` (addressable
+    shard for replicated results, `process_allgather` otherwise), and
+    sampling always runs as a device program (`_sample_only_fn`) — eager
+    ops on non-fully-addressable arrays are illegal.
+    """
+
+    def _fetch(self, x) -> np.ndarray:
+        if getattr(x, "is_fully_addressable", True):
+            return np.asarray(jax.device_get(x))
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    @staticmethod
+    def broadcast_prompts(prompts, max_prompt_len: int, count: int, source_has: bool):
+        """Distribute a ragged prompt list from process 0 to all processes.
+
+        `count`/`max_prompt_len` bound the fixed-size broadcast buffer and
+        must be the same on every process (agree on them out of band —
+        e.g. engine max_len / max_batch). `source_has` is True on the
+        process that owns `prompts` (process 0); others pass prompts=None.
+        Returns the list of int lists, identical everywhere.
+        """
+        from jax.experimental import multihost_utils
+
+        buf = np.full((count, max_prompt_len + 1), -1, np.int32)
+        if source_has and prompts:
+            for i, p in enumerate(prompts[:count]):
+                p = np.asarray(p, np.int32).reshape(-1)
+                buf[i, 0] = len(p)
+                buf[i, 1 : 1 + len(p)] = p
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        out = []
+        for row in buf:
+            n = int(row[0])
+            if n < 0:
+                break
+            out.append(row[1 : 1 + n].tolist())
+        return out

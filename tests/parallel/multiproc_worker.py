@@ -44,7 +44,12 @@ def main():
     assert jax.device_count() == 4 * nprocs, jax.device_count()
     assert jax.local_device_count() == 4
 
-    fn = {"decode": run_decode, "orbax": run_orbax, "barrier": run_barrier}[scenario]
+    fn = {
+        "decode": run_decode,
+        "orbax": run_orbax,
+        "barrier": run_barrier,
+        "serving": run_serving,
+    }[scenario]
     payload = fn(pid, tmpdir)
     print(f"RESULT {scenario} {payload}", flush=True)
     if scenario != "barrier":
@@ -144,6 +149,39 @@ def run_orbax(pid, tmpdir):
     out = _global_logits(other, mesh)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
     return f"{float(abs(out).sum()):.6e}"
+
+
+def run_serving(pid, tmpdir):
+    """Multi-host SPMD serving engine (round 5, VERDICT #7): both processes
+    run the same DistributedEngine loop over a DCN(dp) x ICI(tp) global
+    mesh — weights tp-sharded across the mesh, prompts broadcast from
+    process 0 — and must decode IDENTICAL tokens (the parent asserts the
+    payloads match)."""
+    import numpy as np
+
+    from quanto_tpu.models.serving import DistributedEngine
+    from quanto_tpu.parallel import global_mesh
+
+    mesh = global_mesh({"dp": 2, "tp": 4})
+    model = _tiny_sharded_model(mesh)
+    engine = DistributedEngine(
+        model, max_batch=2, max_len=32, mesh=mesh, prefill_chunk=4,
+        kv_quant="qint8",
+    )
+    # Frontend pattern: process 0 owns the requests; broadcast distributes.
+    prompts = None
+    if pid == 0:
+        rng = np.random.RandomState(7)
+        prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 9, 7)]
+    prompts = DistributedEngine.broadcast_prompts(
+        prompts, max_prompt_len=16, count=3, source_has=(pid == 0)
+    )
+    assert len(prompts) == 3
+    rids = [engine.enqueue(p, max_new_tokens=5) for p in prompts]
+    engine.run_to_completion(burst=4)
+    toks = [engine.result(r) for r in rids]
+    assert all(engine.is_done(r) for r in rids)
+    return repr(toks).replace(" ", "")
 
 
 def run_barrier(pid, tmpdir):

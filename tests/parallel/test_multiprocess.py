@@ -69,7 +69,7 @@ def _launch(scenario, tmp_path, timeout=240):
     return payloads
 
 
-@pytest.mark.parametrize("scenario", ["decode", "orbax", "barrier"])
+@pytest.mark.parametrize("scenario", ["decode", "orbax", "barrier", "serving"])
 def test_multiprocess(scenario, tmp_path):
     payloads = _launch(scenario, tmp_path)
     assert len(set(payloads)) == 1, f"processes disagree: {payloads}"
