@@ -250,9 +250,25 @@ def kernel_smoke():
     ref = np.stack([np.asarray(xg[e], np.float32) @ deqs[e].T for e in range(E)])
     check("moe prefill cap=128", out, ref)
 
+    # Unique-expert dedup variants (round-5): slot -> W[eids[u]] via scalar
+    # prefetch on the all/prefill kernels (the boundary-regime lax.cond).
+    uids = jnp.asarray([5, 1, 1, 6, 0, 3], jnp.int32)
+    out = moe_mm.qbits_moe_all_call(xa, p3, s3, z3, 4, 128, eids=uids)
+    assert out is not None
+    ref = np.stack([np.asarray(xa, np.float32) @ deqs[int(u)].T for u in uids])
+    check("moe uniq U=6", out, ref)
+
+    xu = jnp.asarray(rng.randn(6, 8, K) * 0.3, jnp.bfloat16)
+    out = moe_mm.qbits_moe_prefill_call(xu, p3, s3, z3, 4, 128, eids=uids)
+    assert out is not None
+    ref = np.stack(
+        [np.asarray(xu[i], np.float32) @ deqs[int(u)].T for i, u in enumerate(uids)]
+    )
+    check("moe uniq-prefill U=6", out, ref)
+
     log(
         "kernel smoke: ok (int4 decode/prefill + w4a8 exact/requant-dot, "
-        "k_shards 1/2; moe sel/all/prefill)"
+        "k_shards 1/2; moe sel/all/prefill + uniq/uniq-prefill)"
     )
 
 

@@ -222,6 +222,68 @@ def _all_call(x, packed3, scale3, shift3, *, bits, group_size, k_shards, interpr
     )(x, packed3, scale3, shift3)
 
 
+def _moe_uniq_kernel(eids_ref, x_ref, p_ref, s_ref, z_ref, out_ref, *, bits, group_size, k_shards):
+    del eids_ref  # consumed by the index maps
+    _kernel(
+        x_ref, p_ref.at[0], s_ref.at[0], z_ref.at[0], out_ref.at[0],
+        bits=bits, group_size=group_size, k_shards=k_shards,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "group_size", "k_shards", "interpret")
+)
+def _uniq_call(x, eids, packed3, scale3, shift3, *, bits, group_size, k_shards, interpret):
+    """`_all_call` over U SLOTS instead of all E experts: slot u computes
+    x @ dequant(W[eids[u]]).T — the unique-expert dedup route streams only
+    the experts present in the (deduplicated, padded) routing table."""
+    S, K = x.shape
+    U = eids.shape[0]
+    E, N, Kpacked = packed3.shape
+    G = scale3.shape[1]
+    bn = _pick_bn(N, Kpacked * packed3.dtype.itemsize, S, K, x.dtype.itemsize)
+    kernel = functools.partial(
+        _moe_uniq_kernel, bits=bits, group_size=group_size, k_shards=k_shards
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(U, N // bn),
+        in_specs=[
+            pl.BlockSpec((S, K), lambda u, j, eids: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bn, Kpacked), lambda u, j, eids: (eids[u], j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda u, j, eids: (eids[u], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, G, bn), lambda u, j, eids: (eids[u], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, S, bn), lambda u, j, eids: (u, 0, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((U, S, N), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * U * S * N * K,
+            bytes_accessed=U * N * Kpacked * packed3.dtype.itemsize
+            + S * K * x.dtype.itemsize + U * S * N * 4,
+            transcendentals=0,
+        ),
+    )(eids, x, packed3, scale3, shift3)
+
+
 def qbits_moe_all_call(
     x: jnp.ndarray,
     packed3: jnp.ndarray,
@@ -232,12 +294,17 @@ def qbits_moe_all_call(
     *,
     k_shards: int = 1,
     interpret: bool = False,
+    eids: Optional[jnp.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     """out[e] = x @ dequant(W[e]).T for every expert — the dense-mask decode
     math over the stacked array, copy-free. x [S, K] (S a multiple of 8,
     bounded like the decode kernel's _MAX_M: x and the [1, S, bn] out block
     are VMEM-resident, so large S must go through the M-tiled
-    `qbits_moe_prefill_call` instead); returns [E, S, N] f32 or None."""
+    `qbits_moe_prefill_call` instead); returns [E, S, N] f32 or None.
+
+    With `eids` [U] int32 (scalar-prefetched): the unique-expert dedup
+    route — slot u computes against W[eids[u]], streaming only U expert
+    payloads; returns [U, S, N] f32."""
     if x.dtype not in (jnp.bfloat16, jnp.float32):
         return None
     if x.shape[0] % 8 or x.shape[0] > 512:
@@ -247,6 +314,12 @@ def qbits_moe_all_call(
     E, N, Kpacked = packed3.shape
     vals = _word_vals(packed3.dtype, bits)
     gs = group_size if group_size is not None else Kpacked * vals
+    if eids is not None:
+        return _uniq_call(
+            x, eids.astype(jnp.int32), packed3,
+            scale3.astype(jnp.float32), shift3.astype(jnp.float32),
+            bits=bits, group_size=gs, k_shards=k_shards, interpret=interpret,
+        )
     return _all_call(
         x, packed3,
         scale3.astype(jnp.float32), shift3.astype(jnp.float32),
@@ -261,49 +334,95 @@ def _moe_prefill_kernel(*refs, group_size, vals, bits, kp_b):
     )
 
 
+def _moe_prefill_uniq_kernel(eids_ref, *refs, group_size, vals, bits, kp_b):
+    del eids_ref
+    _moe_prefill_kernel(*refs, group_size=group_size, vals=vals, bits=bits, kp_b=kp_b)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "bm", "bn", "bkp", "vals", "bits", "k_shards", "interpret"),
 )
 def _moe_prefill_call(
-    xg, packed3, scale3, shift3, *, group_size, bm, bn, bkp, vals, bits, k_shards, interpret
+    xg, packed3, scale3, shift3, *, group_size, bm, bn, bkp, vals, bits, k_shards, interpret,
+    eids=None,
 ):
     E, M, K = xg.shape
     _, N, Kpacked = packed3.shape
     G = scale3.shape[1]
     kp_b = Kpacked // k_shards
     rb = kp_b // bkp
-    kernel = functools.partial(
-        _moe_prefill_kernel, group_size=group_size, vals=vals, bits=bits, kp_b=kp_b
-    )
     x_specs = [
         pl.BlockSpec(
             (1, bm, bkp),
-            lambda e, i, j, k, p=p: (e, i, (k // rb * vals + p) * rb + k % rb),
+            lambda e, i, j, k, *pf, p=p: (e, i, (k // rb * vals + p) * rb + k % rb),
             memory_space=pltpu.VMEM,
         )
         for p in range(vals)
     ]
+    # Weight-side index maps: slot -> expert via the scalar-prefetched table
+    # on the uniq route, identity otherwise.
+    we = (lambda e, i, j, k, eids: eids[e]) if eids is not None else (lambda e, i, j, k: e)
+    w_specs = [
+        pl.BlockSpec(
+            (1, bn, bkp),
+            (lambda e, i, j, k, *pf: (we(e, i, j, k, *pf), j, k)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G, bn),
+            (lambda e, i, j, k, *pf: (we(e, i, j, k, *pf), 0, j)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G, bn),
+            (lambda e, i, j, k, *pf: (we(e, i, j, k, *pf), 0, j)),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, bm, bn), lambda e, i, j, k, *pf: (e, i, j), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * E * M * N * K,
+        bytes_accessed=E * N * Kpacked * packed3.dtype.itemsize
+        + E * M * K * xg.dtype.itemsize + E * M * N * 4,
+        transcendentals=0,
+    )
+    if eids is not None:
+        kernel = functools.partial(
+            _moe_prefill_uniq_kernel, group_size=group_size, vals=vals, bits=bits, kp_b=kp_b
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E, M // bm, N // bn, Kpacked // bkp),
+            in_specs=x_specs + w_specs,
+            out_specs=out_spec,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((E, M, N), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+        )(eids, *([xg] * vals), packed3, scale3, shift3)
+    kernel = functools.partial(
+        _moe_prefill_kernel, group_size=group_size, vals=vals, bits=bits, kp_b=kp_b
+    )
     return pl.pallas_call(
         kernel,
         grid=(E, M // bm, N // bn, Kpacked // bkp),
-        in_specs=x_specs + [
-            pl.BlockSpec((1, bn, bkp), lambda e, i, j, k: (e, j, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, bn), lambda e, i, j, k: (e, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, bn), lambda e, i, j, k: (e, 0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bm, bn), lambda e, i, j, k: (e, i, j), memory_space=pltpu.VMEM),
+        in_specs=x_specs + w_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((E, M, N), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * E * M * N * K,
-            bytes_accessed=E * N * Kpacked * packed3.dtype.itemsize
-            + E * M * K * xg.dtype.itemsize + E * M * N * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
     )(*([xg] * vals), packed3, scale3, shift3)
 
 
@@ -317,10 +436,14 @@ def qbits_moe_prefill_call(
     *,
     k_shards: int = 1,
     interpret: bool = False,
+    eids: Optional[jnp.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     """out[e] = xg[e] @ dequant(W[e]).T — batched-expert M/N/K-tiled prefill
     GEMM over per-expert gathered token slabs. xg [E, cap, K] with cap a
-    multiple of the M tile; returns [E, cap, N] f32 or None."""
+    multiple of the M tile; returns [E, cap, N] f32 or None.
+
+    With `eids` [U] int32 (U == xg.shape[0] slots): slot u multiplies
+    against W[eids[u]] — the unique-expert dedup route's down projection."""
     if xg.dtype not in (jnp.bfloat16, jnp.float32):
         return None
     if not _stacked_ok(xg[0], packed3, bits, group_size, k_shards):
@@ -366,4 +489,5 @@ def qbits_moe_prefill_call(
         scale3.astype(jnp.float32), shift3.astype(jnp.float32),
         group_size=gs, bm=bm, bn=bn, bkp=bkp, vals=vals, bits=bits,
         k_shards=k_shards, interpret=interpret,
+        eids=None if eids is None else eids.astype(jnp.int32),
     )

@@ -114,7 +114,7 @@ class _StackedProj(nnx.Module):
             self.activation_qtype = w0.activation_qtype
             self.data = nnx.Param(put(jnp.stack([w._data for w in weights])))
             self.scale = nnx.Param(put(jnp.stack([w._scale for w in weights])))
-        elif isinstance(w0, WeightQBitsTpuArray):
+        elif isinstance(w0, WeightQBitsTpuArray) and w0.pad is None:
             self.kind = "qbits_tpu"
             self.qtype = w0.qtype
             self.group_size = w0.group_size
@@ -124,6 +124,13 @@ class _StackedProj(nnx.Module):
             self.data = nnx.Param(put(jnp.stack([w._packed for w in weights])))
             self.scale = nnx.Param(put(jnp.stack([w._scale_t for w in weights])))
             self.shift = nnx.Param(put(jnp.stack([w._shift_t for w in weights])))
+        elif isinstance(w0, WeightQBitsTpuArray):
+            # Off-envelope padded layout (`pad` set): the MoE kernels do not
+            # carry the per-group activation padding, so stack dequantized
+            # (correct, unoptimized). Family converters that pre-pad their
+            # dims at quantize time (e.g. GPT-OSS) never hit this.
+            self.kind = "float"
+            self.data = nnx.Param(put(jnp.stack([_maybe_deq(w) for w in weights])))
         elif isinstance(w0, jnp.ndarray):
             self.kind = "float"
             self.data = nnx.Param(put(jnp.stack(list(weights))))
@@ -543,6 +550,10 @@ class StackedSparseMoeBlock(nnx.Module):
             return moe_mm.qbits_moe_sel_call(x, eids, data, scale, shift, **kw)
         if kind == "all":
             return moe_mm.qbits_moe_all_call(x, data, scale, shift, **kw)
+        if kind == "uniq":  # all-experts math over U slots -> W[eids[u]]
+            return moe_mm.qbits_moe_all_call(x, data, scale, shift, eids=eids, **kw)
+        if kind == "uniq_prefill":  # per-slot inputs -> W[eids[u]]
+            return moe_mm.qbits_moe_prefill_call(x, data, scale, shift, eids=eids, **kw)
         return moe_mm.qbits_moe_prefill_call(x, data, scale, shift, **kw)
 
     def _apply_proj(self, proj, leaves, x, e):
@@ -595,6 +606,91 @@ class StackedSparseMoeBlock(nnx.Module):
         top_i, top_p = self._route(x)
         out = self._dispatch(x, top_i, top_p).reshape(B, T, H)
         return self._combine_shared(x, out)
+
+    def _all_math(self, xp, top_i, top_p, S):
+        """All-experts dense-mask math over the stacked array: gate/up via
+        the all-experts kernel, down via the batched-expert GEMM, combined
+        with the [S, E] routing mask. xp is the sublane-padded [Sp, H]
+        activations; returns [S, H] f32 or None off the kernel envelope."""
+        E = self.num_experts
+        g3 = self._mm("all", xp, self.proj_gate)
+        u3 = self._mm("all", xp, self.proj_up) if g3 is not None else None
+        if u3 is None:
+            return None
+        g3 = self._post_mm("gate", g3)
+        u3 = self._post_mm("up", u3)
+        h3 = self._glu(g3, u3).astype(xp.dtype)  # [E, Sp, I]
+        # The down projection is per-expert on per-expert inputs: the
+        # batched-expert GEMM kernel covers it (M tile = Sp).
+        d3 = self._mm("prefill", h3, self.proj_down)
+        if d3 is None:
+            return None
+        d3 = self._post_mm("down", d3)
+        mask = jnp.sum(
+            jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+            axis=-2,
+        ).reshape(S, E)
+        d3 = d3[:, :S, :] if d3.shape[1] > S else d3
+        return jnp.einsum("esh,se->sh", d3, mask)
+
+    def _uniq_math(self, xp, top_i, top_p, S, uids, valid):
+        """Unique-expert dedup math: the all-experts computation over U
+        SLOTS, slot u reading W[uids[u]] via scalar prefetch, combined with
+        the slot-gathered routing mask (padded slots carry zero weight).
+        Returns [S, H] f32 or None off the kernel envelope."""
+        E = self.num_experts
+        U = uids.shape[0]
+        g3 = self._mm("uniq", xp, self.proj_gate, uids)
+        u3 = self._mm("uniq", xp, self.proj_up, uids) if g3 is not None else None
+        if u3 is None:
+            return None
+        g3 = self._post_mm("gate", g3, eids=uids)
+        u3 = self._post_mm("up", u3, eids=uids)
+        h3 = self._glu(g3, u3).astype(xp.dtype)  # [U, Sp, I]
+        d3 = self._mm("uniq_prefill", h3, self.proj_down, uids)
+        if d3 is None:
+            return None
+        d3 = self._post_mm("down", d3, eids=uids)
+        mask = jnp.sum(
+            jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None],
+            axis=-2,
+        ).reshape(S, E)
+        maskg = jnp.take(mask, uids, axis=1) * valid[None, :]  # [S, U]
+        d3 = d3[:, :S, :] if d3.shape[1] > S else d3
+        return jnp.einsum("ush,su->sh", d3, maskg)
+
+    def _uniq_boundary(self, xp, top_i, top_p, S):
+        """lax.cond between the U-slot unique-dedup route and the full
+        all-experts route, predicated on the RUNTIME unique-expert count of
+        this step's routing (U = 3E/4 slots; measured: scalar-prefetched
+        index maps re-fetch duplicate blocks, so dedup must happen at the
+        slot level — RESULTS.md round-4 addendum). Returns [S, H] f32 or
+        None when either branch is off the kernel envelope."""
+        E, K = self.num_experts, self.top_k
+        U = max(1, (3 * E) // 4)
+        eids = top_i.reshape(-1)
+        sorted_e = jnp.sort(eids)
+        nuniq = 1 + jnp.sum(sorted_e[1:] != sorted_e[:-1])
+        uids = jnp.unique(eids, size=U, fill_value=0).astype(jnp.int32)
+        valid = (jnp.arange(U) < nuniq).astype(jnp.float32)
+
+        def uniq_branch(ops):
+            xp, top_i, top_p, uids, valid = ops
+            return self._uniq_math(xp, top_i, top_p, S, uids, valid)
+
+        def all_branch(ops):
+            xp, top_i, top_p, uids, valid = ops
+            return self._all_math(xp, top_i, top_p, S)
+
+        ops = (xp, top_i, top_p, uids, valid)
+        try:  # kernel-envelope probe: abstract-eval both branches
+            if jax.eval_shape(uniq_branch, ops) is None:
+                return None
+            if jax.eval_shape(all_branch, ops) is None:
+                return None
+        except Exception:
+            return None
+        return jax.lax.cond(nuniq <= U, uniq_branch, all_branch, ops)
 
     def _dispatch(self, x: jnp.ndarray, top_i: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
         """Routed-expert dispatch core shared by the family subclasses:
@@ -656,23 +752,16 @@ class StackedSparseMoeBlock(nnx.Module):
             # where cap == S — goes through the M-TILED gather branch below.
             pad = -S % 8
             xp = jnp.pad(xf, ((0, pad), (0, 0))) if pad else xf
-            g3 = self._mm("all", xp, self.proj_gate)
-            u3 = self._mm("all", xp, self.proj_up) if g3 is not None else None
-            if u3 is not None:
-                g3 = self._post_mm("gate", g3)
-                u3 = self._post_mm("up", u3)
-                h3 = self._glu(g3, u3).astype(x.dtype)  # [E, Sp, I]
-                # The down projection is per-expert on per-expert inputs:
-                # the batched-expert GEMM kernel covers it (M tile = Sp).
-                d3 = self._mm("prefill", h3, self.proj_down)
-                if d3 is not None:
-                    d3 = self._post_mm("down", d3)
-                    mask = jnp.sum(
-                        jax.nn.one_hot(top_i, E, dtype=jnp.float32)
-                        * top_p[..., None], axis=-2,
-                    ).reshape(S, E)  # [S, E]
-                    d3 = d3[:, :S, :] if pad else d3
-                    out = jnp.einsum("esh,se->sh", d3, mask).astype(x.dtype)
+            if E >= 8 and E <= S * K <= 2 * E:
+                # BOUNDARY DEDUP (VERDICT round-4 #6): at S*K just past the
+                # selective gate the number of UNIQUE routed experts is
+                # often < E; a lax.cond streams only U = 3E/4 expert
+                # payloads when the routing allows, else the full all route.
+                out = self._uniq_boundary(xp, top_i, top_p, S)
+            if out is None:
+                out = self._all_math(xp, top_i, top_p, S)
+            if out is not None:
+                out = out.astype(x.dtype)
         if out is None:
             # CAPACITY GATHER through the M-tiled batched-expert kernel.
             # cap_g == S (cf=None or sublane-rounded coverage) gathers every
@@ -894,8 +983,11 @@ class StackedGptOssMoE(StackedSparseMoeBlock):
         b = {
             "gate": self.bias_gate, "up": self.bias_up, "down": self.bias_down,
         }[which].get_value()
-        if eids is not None:  # selective: per-row expert bias [nsel, N]
-            return y + jnp.take(b, eids, axis=0).astype(y.dtype)
+        if eids is not None:
+            be = jnp.take(b, eids, axis=0).astype(y.dtype)
+            if y.ndim == 3:  # uniq route: per-slot bias over [U, Sp, N]
+                return y + be[:, None, :]
+            return y + be  # selective: per-row expert bias [nsel, N]
         if _expert is not None:  # dense fallback: single expert
             return y + b[_expert].astype(y.dtype)
         return y + b[:, None, :].astype(y.dtype)  # [E, M, N] paths

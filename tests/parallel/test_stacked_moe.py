@@ -224,3 +224,43 @@ def test_selective_widened_regime_matches_oracle():
     assert moe_mm.qbits_moe_sel_call(
         x, jnp.zeros(33, jnp.int32), p3, s3, z3, 4, 128, interpret=True
     ) is None
+
+
+def test_uniq_boundary_dedup_both_branches():
+    """The boundary dedup route (E <= S*K <= 2E): a lax.cond streams only
+    U = 3E/4 unique expert payloads when the step's routing has <= U unique
+    experts, else the full all-experts route. Both branches must be exact
+    vs the XLA dense fallback on the same quantized weights."""
+    block, x = _block_and_input(8, 1)  # S=8, K=2, E=8 -> S*K = 2E boundary
+    sb = StackedSparseMoeBlock(block, capacity_factor=2.0)
+    E, K, S, H = sb.num_experts, sb.top_k, 8, 256
+    xf = x.reshape(S, H)
+    rng = np.random.RandomState(7)
+
+    def oracle(top_i, top_p):
+        mask = np.zeros((S, E), np.float32)
+        for s in range(S):
+            for k in range(K):
+                mask[s, top_i[s, k]] += top_p[s, k]
+        return sb._dense_fallback(xf, jnp.asarray(mask))
+
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        # (a) <= U unique experts -> uniq branch taken at runtime.
+        top_i = jnp.asarray(rng.randint(0, 4, (S, K)), jnp.int32)  # 4 unique
+        top_i = top_i.at[:, 1].set((top_i[:, 0] + 1) % 4)  # distinct per row
+        top_p = jnp.asarray(rng.rand(S, K).astype(np.float32) * 0.5 + 0.25)
+        out = sb._dispatch(x, top_i, top_p)
+        ref = oracle(np.asarray(top_i), np.asarray(top_p))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+
+        # (b) all 8 experts routed -> all branch taken at runtime.
+        top_i = jnp.stack(
+            [jnp.arange(8, dtype=jnp.int32), (jnp.arange(8, dtype=jnp.int32) + 1) % 8],
+            axis=1,
+        )
+        out = sb._dispatch(x, top_i, top_p)
+        ref = oracle(np.asarray(top_i), np.asarray(top_p))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3)
+    finally:
+        ops_config.set_backend()
