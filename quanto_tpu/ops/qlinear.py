@@ -44,6 +44,7 @@ def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
     from ..tensor.weights import WeightQBitsTpuArray
 
     if isinstance(w, WeightQBitsTpuArray) and config.use_pallas_qbits():
+        xk = w.pad_activations(x)  # off-envelope dims: zero-pad K (exact)
         if config.mesh_active() and jax.device_count() > 1:
             # Sharded execution: the custom_partitioning wrapper runs the
             # kernel per device on its local shard (column-parallel N shards,
@@ -51,25 +52,25 @@ def _qbits_mm(x: jnp.ndarray, w) -> jnp.ndarray:
             from .pallas.qbits_mm_sharded import qbits_mm_partitioned
 
             out = qbits_mm_partitioned(
-                x, w._packed, w._scale_t, w._shift_t,
-                w.qtype.bits, w.group_size,
+                xk, w._packed, w._scale_t, w._shift_t,
+                w.qtype.bits, w.kernel_group_size,
                 k_shards=w.k_shards, interpret=config.pallas_interpret(),
             )
-            return out.astype(x.dtype)
+            return w.slice_out(out).astype(x.dtype)
         from .pallas.qbits_mm import qbits_matmul_kernel_call
 
         out = qbits_matmul_kernel_call(
-            x,
+            xk,
             w._packed,
             w._scale_t,
             w._shift_t,
             w.qtype.bits,
-            w.group_size,
+            w.kernel_group_size,
             k_shards=w.k_shards,
             interpret=config.pallas_interpret(),
         )
         if out is not None:
-            return out
+            return w.slice_out(out)
     wdq = w.dequantize().astype(x.dtype)
     return jnp.matmul(x, wdq.T)
 
@@ -105,14 +106,16 @@ def qlinear(
             ):
                 from ..tensor.activations import mark_quantized_use
 
+                xk = w.pad_activations(x.data)  # zero int8 pads: exact
                 if config.mesh_active() and jax.device_count() > 1:
                     from .pallas.qbits_mm_sharded import qbits_mm_partitioned
 
                     out = qbits_mm_partitioned(
-                        x.data, w._packed, w._scale_t, w._shift_t,
-                        w.qtype.bits, w.group_size,
+                        xk, w._packed, w._scale_t, w._shift_t,
+                        w.qtype.bits, w.kernel_group_size,
                         k_shards=w.k_shards, interpret=config.pallas_interpret(),
                     )
+                    out = w.slice_out(out)
                     out = (out * jnp.asarray(x.scale, jnp.float32)).astype(w.float_dtype)
                     mark_quantized_use(x)
                     if bias is not None:
@@ -121,12 +124,13 @@ def qlinear(
                 from .pallas.qbits_mm import qbits_int8_matmul_kernel_call
 
                 out = qbits_int8_matmul_kernel_call(
-                    x.data, x.scale, w._packed, w._scale_t, w._shift_t,
-                    w.qtype.bits, w.group_size, w.float_dtype,
+                    xk, x.scale, w._packed, w._scale_t, w._shift_t,
+                    w.qtype.bits, w.kernel_group_size, w.float_dtype,
                     k_shards=w.k_shards,
                     interpret=config.pallas_interpret(),
                 )
                 if out is not None:
+                    out = w.slice_out(out)
                     mark_quantized_use(x)
                     if bias is not None:
                         out = out + bias

@@ -234,6 +234,11 @@ def _shard_qweight(qw: QArray, mesh: Mesh, spec: P):
         #   products + psum over the axis (Megatron row-parallel).
         out_axis = spec[0] if len(spec) > 0 else None
         in_axis = spec[1] if len(spec) > 1 else None
+        if qw.pad is not None:
+            # Off-envelope padded layout: replicate (the padded N slice after
+            # the matmul would fight the shard boundary; these dims are the
+            # exception, not the TP-critical bulk).
+            out_axis = in_axis = None
         if in_axis is not None:
             repacked = qw.repack(mesh.shape[in_axis])
             if repacked is None:
@@ -250,6 +255,7 @@ def _shard_qweight(qw: QArray, mesh: Mesh, spec: P):
             orig_shape=qw.orig_shape,
             float_dtype=qw.float_dtype,
             k_shards=qw.k_shards,
+            pad=qw.pad,
         )
     if isinstance(qw, WeightQBitsArray):
         # Generic grouped layout: the packed payload's rows interleave output

@@ -218,6 +218,14 @@ class WeightQBitsTpuArray(QArray):
     orig_shape: Tuple[int, ...]
     float_dtype: jnp.dtype
     k_shards: int = 1
+    # Off-envelope dims (N % 128, K alignment, or group_size % 128 — e.g.
+    # GPT-OSS's hidden 2880 with its auto group size 96): the PACKED layout
+    # is zero-padded to (Npad, Kpad) with each gs-code group padded to
+    # gs_pad codes, while scale/shift VALUES and the serialized generic
+    # layout are bit-identical to the unpadded grid. Exact because padded x
+    # columns are zero (`pad_activations`) and padded output rows are
+    # sliced away (`slice_out`). None = no padding (aligned dims).
+    pad: Optional[Tuple[int, int, Optional[int]]] = None  # (Npad, Kpad, gs_pad)
 
     @staticmethod
     def eligible(
@@ -242,14 +250,58 @@ class WeightQBitsTpuArray(QArray):
             return k_shards == 1  # one group cannot straddle K blocks
         return gs % 128 == 0 and kp_b % gs == 0
 
+    @staticmethod
+    def pad_geometry(
+        orig_shape: Tuple[int, ...],
+        bits: int,
+        group_size: Optional[int],
+    ) -> Optional[Tuple[int, int, Optional[int]]]:
+        """Smallest zero-padded geometry (Npad, Kpad, gs_pad) that puts an
+        off-envelope [N, K] / group_size weight onto the kernel envelope
+        (`eligible`); None when no padding helps (or none is needed)."""
+        if len(orig_shape) != 2 or bits not in (2, 4):
+            return None
+        N, K = orig_shape
+        vals = 8 // bits
+        npad = -128 * (-N // 128)
+        if group_size is None:
+            # Per-tensor: tail-pad K so packed columns tile in 128-lanes.
+            align = vals * 128
+            kpad = -align * (-K // align)
+            geom = (npad, kpad, None)
+        else:
+            gs = group_size
+            if K % gs != 0:
+                return None
+            gs_pad = -128 * (-gs // 128)  # ceil to the 128-lane multiple
+            g = K // gs
+            # Tail-align so packed columns tile AND whole groups fit:
+            # eligible() needs (Kpad/vals) % 128 == 0 and (Kpad/vals) % gs_pad == 0.
+            align = vals * gs_pad if gs_pad % 128 == 0 else vals * 128 * gs_pad
+            kpad = -align * (-(g * gs_pad) // align)
+            geom = (npad, kpad, gs_pad)
+        if (geom[0], geom[1]) == (N, K) and geom[2] in (group_size, None):
+            return None  # nothing to pad
+        gs_k = geom[2] if geom[2] is not None else None
+        if not WeightQBitsTpuArray.eligible((geom[0], geom[1]), bits, gs_k, 1):
+            return None
+        return geom
+
     @classmethod
     def from_generic(
         cls, w: "WeightQBitsArray", k_shards: int = 1
     ) -> Optional["WeightQBitsTpuArray"]:
         from ..ops.pallas.qbits_mm import pack_for_kernel
 
-        if w.axis != 0 or not cls.eligible(w.orig_shape, w.qtype.bits, w.group_size, k_shards):
+        if w.axis != 0:
             return None
+        pad = None
+        if not cls.eligible(w.orig_shape, w.qtype.bits, w.group_size, k_shards):
+            if k_shards != 1:
+                return None
+            pad = cls.pad_geometry(w.orig_shape, w.qtype.bits, w.group_size)
+            if pad is None:
+                return None
         N, K = w.orig_shape
         gs = w.group_size if w.group_size is not None else K
         codes = ungroup(w._data.unpack(), w.axis, w.orig_shape)
@@ -261,6 +313,23 @@ class WeightQBitsTpuArray(QArray):
         else:
             # Integer zero-point: deq = scale*(code - zp) = scale*code - scale*zp.
             shift = scale * shift.astype(jnp.float32).reshape(N, G)
+        if pad is not None:
+            npad, kpad, gs_pad = pad
+            if gs_pad is None:  # per-tensor: plain tail pad
+                codes = jnp.pad(codes, ((0, npad - N), (0, kpad - K)))
+            else:
+                # Pad each gs-code group to gs_pad codes, then tail groups.
+                codes = codes.reshape(N, G, gs)
+                codes = jnp.pad(codes, ((0, npad - N), (0, 0), (0, gs_pad - gs)))
+                codes = codes.reshape(npad, G * gs_pad)
+                if kpad > G * gs_pad:
+                    codes = jnp.pad(codes, ((0, 0), (0, kpad - G * gs_pad)))
+                gp = kpad // gs_pad
+                scale = jnp.pad(scale, ((0, npad - N), (0, gp - G)))
+                shift = jnp.pad(shift, ((0, npad - N), (0, gp - G)))
+            if gs_pad is None and npad > N:
+                scale = jnp.pad(scale, ((0, npad - N), (0, 0)))
+                shift = jnp.pad(shift, ((0, npad - N), (0, 0)))
         return cls(
             _packed=pack_for_kernel(codes, w.qtype.bits, k_shards),
             _scale_t=scale.T,
@@ -270,7 +339,62 @@ class WeightQBitsTpuArray(QArray):
             orig_shape=tuple(w.orig_shape),
             float_dtype=w.float_dtype,
             k_shards=k_shards,
+            pad=pad,
         )
+
+    @property
+    def kernel_group_size(self) -> Optional[int]:
+        """Group size of the PACKED layout (gs_pad on padded arrays) — what
+        kernel calls must receive; serialization keeps `group_size`."""
+        if self.pad is not None and self.pad[2] is not None:
+            return self.pad[2]
+        return self.group_size
+
+    def pad_activations(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Zero-pad the contraction dim of `x` to match a padded packed
+        layout (per-group gs -> gs_pad interleaved padding + tail). The
+        padded columns multiply zero, so the matmul is exact."""
+        if self.pad is None:
+            return x
+        N, K = self.orig_shape
+        npad, kpad, gs_pad = self.pad
+        lead = [(0, 0)] * (x.ndim - 1)
+        if gs_pad is None or self.group_size is None:
+            return jnp.pad(x, lead + [(0, kpad - K)])
+        gs = self.group_size
+        g = K // gs
+        xs = x.reshape(x.shape[:-1] + (g, gs))
+        xs = jnp.pad(xs, lead + [(0, 0), (0, gs_pad - gs)])
+        xs = xs.reshape(x.shape[:-1] + (g * gs_pad,))
+        if kpad > g * gs_pad:
+            xs = jnp.pad(xs, lead + [(0, kpad - g * gs_pad)])
+        return xs
+
+    def slice_out(self, out: jnp.ndarray) -> jnp.ndarray:
+        """Drop padded output rows ([..., Npad] -> [..., N])."""
+        if self.pad is None or self.pad[0] == self.orig_shape[0]:
+            return out
+        return out[..., : self.orig_shape[0]]
+
+    def _true_codes(self):
+        """(codes [N, K], scale [N, G], shift [N, G]) on the TRUE grid,
+        un-padding the packed layout when needed."""
+        from ..ops.pallas.qbits_mm import unpack_split_half
+
+        N, K = self.orig_shape
+        if self.pad is None:
+            codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards)
+            return codes, self._scale_t.T, self._shift_t.T
+        npad, kpad, gs_pad = self.pad
+        codes = unpack_split_half(self._packed, self.qtype.bits, kpad, self.k_shards)
+        if gs_pad is None or self.group_size is None:
+            codes = codes[:N, :K]
+            return codes, self._scale_t.T[:N], self._shift_t.T[:N]
+        gs = self.group_size
+        g = K // gs
+        gp = kpad // gs_pad
+        codes = codes[:N].reshape(N, gp, gs_pad)[:, :g, :gs].reshape(N, K)
+        return codes, self._scale_t.T[:N, :g], self._shift_t.T[:N, :g]
 
     def repack(self, k_shards: int) -> Optional["WeightQBitsTpuArray"]:
         """Re-pack the payload with a different K-block count (scale/shift
@@ -279,6 +403,8 @@ class WeightQBitsTpuArray(QArray):
 
         if k_shards == self.k_shards:
             return self
+        if self.pad is not None:
+            return None  # padded layouts stay single-block (TP via to_generic)
         if not self.eligible(self.orig_shape, self.qtype.bits, self.group_size, k_shards):
             return None
         N, K = self.orig_shape
@@ -354,20 +480,20 @@ class WeightQBitsTpuArray(QArray):
 
     def to_generic(self) -> "WeightQBitsArray":
         """Back to the kernel-agnostic serialized layout
-        (rule from reference `weights/qbits.py:223-235`)."""
-        from ..ops.pallas.qbits_mm import unpack_split_half
+        (rule from reference `weights/qbits.py:223-235`); padded layouts
+        un-pad to the original grid — serialization is pad-free."""
         from .grouped import group
 
         N, K = self.orig_shape
         gs = self.group_size
-        codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards)
+        codes, scale_ng, shift_ng = self._true_codes()
         if gs is not None:
             codes = group(codes, 0, gs)
-            scale = self._scale_t.T.reshape(-1, 1).astype(self.float_dtype)
-            shift = self._shift_t.T.reshape(-1, 1).astype(self.float_dtype)
+            scale = scale_ng.reshape(-1, 1).astype(self.float_dtype)
+            shift = shift_ng.reshape(-1, 1).astype(self.float_dtype)
         else:
-            scale = self._scale_t.T.astype(self.float_dtype)
-            shift = self._shift_t.T.astype(self.float_dtype)
+            scale = scale_ng.astype(self.float_dtype)
+            shift = shift_ng.astype(self.float_dtype)
         packed = PackedArray.pack(codes, self.qtype.bits)
         return WeightQBitsArray(
             _data=packed,
@@ -389,16 +515,12 @@ class WeightQBitsTpuArray(QArray):
         return self.float_dtype
 
     def dequantize(self) -> jnp.ndarray:
-        from ..ops.pallas.qbits_mm import unpack_split_half
-
         N, K = self.orig_shape
         gs = self.group_size if self.group_size is not None else K
-        codes = unpack_split_half(self._packed, self.qtype.bits, K, self.k_shards).astype(
-            jnp.float32
-        )
-        scale = jnp.repeat(self._scale_t.T, gs, axis=1)
-        shift = jnp.repeat(self._shift_t.T, gs, axis=1)
-        return (codes * scale - shift).astype(self.float_dtype)
+        codes, scale_ng, shift_ng = self._true_codes()
+        scale = jnp.repeat(scale_ng, gs, axis=1)
+        shift = jnp.repeat(shift_ng, gs, axis=1)
+        return (codes.astype(jnp.float32) * scale - shift).astype(self.float_dtype)
 
 
 def quantize_weight(
