@@ -77,8 +77,6 @@ class BatchedEngine:
         mesh=None,
         prefill_chunk: Optional[int] = None,
     ):
-        from .llama import init_kv_cache
-
         self.model = model
         self.max_batch = max_batch
         self.max_len = max_len
@@ -268,12 +266,32 @@ class BatchedEngine:
             c0 += C
         return last, slot_cache
 
-    def _make_cache(self, kv_quant):
+    def _build_cache(self, batch: int, kv_quant):
+        """Cache of `batch` slots through the model's own init_kv_cache (the
+        family-specific layout — GPT-OSS, DeepSeek MLA, ...) or the llama
+        default, with the kv_quant SPEC flowing through either way (round-5
+        fix: family caches silently dropped it)."""
         from .llama import init_kv_cache
 
         if hasattr(self.model, "init_kv_cache"):
-            return self.model.init_kv_cache(self.max_batch, self.max_len)
-        return init_kv_cache(self.model.config, self.max_batch, self.max_len, kv_quant=kv_quant)
+            if kv_quant is not None:
+                return self.model.init_kv_cache(batch, self.max_len, kv_quant=kv_quant)
+            return self.model.init_kv_cache(batch, self.max_len)
+        return init_kv_cache(self.model.config, batch, self.max_len, kv_quant=kv_quant)
+
+    def _pool_kv_quant(self):
+        """The live pool's KV spec name (None for a float cache) — what slot
+        caches must be built with so scatter/gather pytrees line up."""
+        from ..tensor.kv_cache import QKVCacheLayer
+
+        if isinstance(self._cache[0], QKVCacheLayer):
+            # qtype_name is a KV SPEC ("qint4", "k8v4", "qint4a", ...);
+            # init_kv_cache/parse_kv_spec accept it verbatim.
+            return self._cache[0].qtype_name
+        return None
+
+    def _make_cache(self, kv_quant):
+        return self._build_cache(self.max_batch, kv_quant)
 
     def _shard_cache(self, cache, mesh):
         """Pooled dense cache [B, S, H, D]: shard kv heads over "tp" and the
@@ -325,25 +343,13 @@ class BatchedEngine:
 
     def add(self, prompt_ids, max_new_tokens: int = 64) -> int:
         """Prefill a prompt into a free slot; returns the request id."""
-        from .llama import init_kv_cache
-
         if not self._free:
             raise RuntimeError("no free slots (call step() until one finishes)")
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
         slot = self._free.pop()
-        if hasattr(self.model, "init_kv_cache"):
-            slot_cache = self.model.init_kv_cache(1, self.max_len)
-        else:
-            kv_quant = None
-            from ..tensor.kv_cache import QKVCacheLayer
-
-            if isinstance(self._cache[0], QKVCacheLayer):
-                # qtype_name is a KV SPEC ("qint4", "k8v4", "qint4a", ...);
-                # init_kv_cache/parse_kv_spec accept it verbatim.
-                kv_quant = self._cache[0].qtype_name
-            slot_cache = init_kv_cache(self.model.config, 1, self.max_len, kv_quant=kv_quant)
+        slot_cache = self._build_cache(1, self._pool_kv_quant())
         last_logits, slot_cache = self._prefill_into(slot_cache, prompt)
         self._key, sub = jax.random.split(self._key)
         first_tok = int(self._sample_host(last_logits, sub)[0])

@@ -552,3 +552,45 @@ def test_sp_engine_quantized_cache_and_burst(model):
     engine.run_to_completion(burst=4)
     for rid, r in zip(rids, rr):
         assert engine.result(rid) == ref_engine.result(r)
+
+
+def test_engine_with_gpt_oss_model():
+    """GPT-OSS serving: attention sinks + alternating sliding window +
+    stacked fused experts drain through the continuous-batching engine
+    token-identically to single-sequence generation, and the engine's
+    kv_quant spec flows through the family's own init_kv_cache (round-5
+    fix: it was silently dropped for models defining one)."""
+    from quanto_tpu.models import GptOssConfig, GptOssForCausalLM
+    from quanto_tpu.ops import config as ops_config
+    from quanto_tpu.parallel import convert_gpt_oss_moe_to_stacked
+    from quanto_tpu.tensor.kv_cache import QKVCacheLayer
+
+    cfg = GptOssConfig(
+        vocab_size=128, hidden_size=512, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, max_position_embeddings=64, dtype=jnp.float32,
+    )
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(0))
+    qt.quantize(m, weights="qint8", exclude="lm_head")
+    qt.freeze(m)
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        assert convert_gpt_oss_moe_to_stacked(m, weights="qint4") == 2
+
+        rng = np.random.RandomState(3)
+        prompts = [rng.randint(0, 128, size=L).tolist() for L in (5, 11)]
+        n_new = 5
+        refs = [_ref_generate(m, p, n_new) for p in prompts]
+
+        engine = BatchedEngine(m, max_batch=2, max_len=32, kv_quant="qint8")
+        assert isinstance(engine._cache[0], QKVCacheLayer)  # spec honored
+        rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+        engine.run_to_completion()
+        got = [engine.result(r) for r in rids]
+    finally:
+        ops_config.set_backend()
+    # int8-KV engine vs float-cache reference: greedy tokens should agree
+    # on the vast majority of steps at this scale.
+    agree = sum(a == b for ref, out in zip(refs, got) for a, b in zip(ref, out))
+    assert agree >= 8, (refs, got)
