@@ -136,7 +136,8 @@ class GptOssAttention(nnx.Module):
         self.o_proj = lin(self.num_heads * c.head_dim, c.hidden_size)
         self.sinks = nnx.Param(jnp.zeros((self.num_heads,), c.dtype))
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None,
+                 ring=False):
         B, T, _ = x.shape
         H, Hkv, D = self.num_heads, self.num_kv_heads, self.head_dim
         G = H // Hkv
@@ -147,7 +148,36 @@ class GptOssAttention(nnx.Module):
         k = _apply_rope(k, cos, sin)
         new_cache = None
         k_scale = v_scale = k_shift = v_shift = None
-        if layer_cache is not None:
+        if layer_cache is not None and ring:
+            # Sliding-window RING cache (W slots, not max_len): attend over
+            # the PRE-write ring concatenated with the in-chunk K/V —
+            # read-then-write is exact for any chunk length (kv_cache.py
+            # ring notes) — then write the chunk at pos % W for the next
+            # call. The caller's mask is built over [W + T] keys by
+            # absolute position (`GptOssForCausalLM._masks`).
+            from ..tensor.kv_cache import (
+                QKVCacheLayer,
+                kv_read_raw,
+                kv_ring_update,
+                quantize_kv_chunk,
+            )
+
+            rk, rv, rks, rvs, rkm, rvm = kv_read_raw(layer_cache, q.dtype, B)
+            if isinstance(layer_cache, QKVCacheLayer):
+                # Quantize the chunk exactly as the cache would store it, so
+                # in-chunk keys see the same numerics as cached ones.
+                ck, cv, cks, cvs, ckm, cvm = quantize_kv_chunk(
+                    layer_cache.qtype_name, k, v, q.dtype
+                )
+            else:
+                ck, cv = k.astype(rk.dtype), v.astype(rv.dtype)
+                cks = cvs = ckm = cvm = None
+            cat = lambda a, b: None if a is None else jnp.concatenate([a, b], axis=1)
+            new_cache = kv_ring_update(layer_cache, k, v, cache_pos)
+            k, v = cat(rk, ck), cat(rv, cv)
+            k_scale, v_scale = cat(rks, cks), cat(rvs, cvs)
+            k_shift, v_shift = cat(rkm, ckm), cat(rvm, cvm)
+        elif layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
@@ -249,9 +279,11 @@ class GptOssDecoderLayer(nnx.Module):
         self.input_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
         self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None,
+                 ring=False):
         h, new_cache = self.self_attn(
-            self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos
+            self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos,
+            ring=ring,
         )
         x = x + h
         x = x + self.mlp(self.post_attention_layernorm(x))
@@ -280,7 +312,21 @@ class GptOssForCausalLM(nnx.Module):
             param_dtype=config.dtype, rngs=rngs,
         )
 
-    def _masks(self, B, T, cache, cache_pos):
+    def _ring_layers(self, cache) -> bool:
+        """True when the cache stores sliding layers as W-slot RINGS (their
+        capacity is below the full layers') — see init_kv_cache."""
+        from ..tensor.kv_cache import cache_max_len
+
+        c = self.config
+        if cache is None:
+            return False
+        sl = [i for i, t in enumerate(c.layer_types) if t == "sliding_attention"]
+        fl = [i for i, t in enumerate(c.layer_types) if t != "sliding_attention"]
+        return bool(
+            sl and fl and cache_max_len(cache[sl[0]]) < cache_max_len(cache[fl[0]])
+        )
+
+    def _masks(self, B, T, cache, cache_pos, ring=False):
         neg = jnp.finfo(jnp.float32).min
         w = self.config.sliding_window
         if cache is None:
@@ -289,14 +335,30 @@ class GptOssForCausalLM(nnx.Module):
         else:
             from ..tensor.kv_cache import cache_max_len
 
-            max_len = cache_max_len(cache[0])
+            # Size the full mask from a FULL layer's capacity (under ring
+            # mode the sliding layers' caches are only W slots).
+            lt = self.config.layer_types
+            fi = next((i for i, t in enumerate(lt) if t != "sliding_attention"), 0)
+            max_len = cache_max_len(cache[fi])
             pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
             positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
             q_pos = positions[:, None, :, None]
             k_pos = jnp.arange(max_len)[None, None, None, :]
         causal = k_pos <= q_pos
         full = jnp.where(causal, 0.0, neg)
-        sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
+        if ring:
+            # Sliding layers attend over [W ring slots | T in-chunk keys]
+            # tagged with ABSOLUTE positions (never-written slots < 0).
+            from ..tensor.kv_cache import ring_key_positions
+
+            k_abs = jnp.concatenate(
+                [ring_key_positions(cache_pos, w, B), positions], axis=1
+            )  # [B, W + T]
+            ka = k_abs[:, None, None, :]
+            ok = (ka >= 0) & (ka <= q_pos) & (ka > q_pos - w)
+            sliding = jnp.where(ok, 0.0, neg)
+        else:
+            sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
         return full, sliding
 
     def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None, cache_pos=0):
@@ -311,12 +373,15 @@ class GptOssForCausalLM(nnx.Module):
             positions, c.head_dim, c.rope_theta, x.dtype,
             c.rope_scaling, c.max_position_embeddings,
         )
-        full_mask, sliding_mask = self._masks(B, T, cache, cache_pos)
+        ring = self._ring_layers(cache)
+        full_mask, sliding_mask = self._masks(B, T, cache, cache_pos, ring=ring)
         new_cache = [] if cache is not None else None
         for i, layer in enumerate(self.model.layers):
-            mask = sliding_mask if c.layer_types[i] == "sliding_attention" else full_mask
+            sliding = c.layer_types[i] == "sliding_attention"
+            mask = sliding_mask if sliding else full_mask
             layer_cache = cache[i] if cache is not None else None
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos)
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos,
+                          ring=ring and sliding)
             if cache is not None:
                 new_cache.append(lc)
         x = self.model.norm(x)
@@ -325,18 +390,37 @@ class GptOssForCausalLM(nnx.Module):
             logits = logits.dequantize()
         return logits, (tuple(new_cache) if new_cache is not None else None)
 
-    def init_kv_cache(self, batch: int, max_len: int, dtype=None, kv_quant=None) -> KVCache:
+    def init_kv_cache(
+        self, batch: int, max_len: int, dtype=None, kv_quant=None,
+        sliding_ring: bool = True,
+    ) -> KVCache:
+        """Per-layer cache; with `sliding_ring` (default) the sliding layers
+        get W-slot RING buffers instead of max_len slots — their payload
+        and attention reads drop by max_len/W (64x at ctx 8192 for the
+        released window 128), exactly (kv_cache.py ring notes). Pass
+        sliding_ring=False for uniform max_len layers."""
         c = self.config
+        w = c.sliding_window
+        ring = bool(sliding_ring) and w is not None and max_len > w
+
+        def layer_len(i):
+            return w if ring and c.layer_types[i] == "sliding_attention" else max_len
+
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
 
-            return init_quantized_kv_cache(
-                c.num_hidden_layers, batch, max_len,
-                c.num_key_value_heads, c.head_dim, kv_quant,
+            return tuple(
+                init_quantized_kv_cache(
+                    1, batch, layer_len(i),
+                    c.num_key_value_heads, c.head_dim, kv_quant,
+                )[0]
+                for i in range(c.num_hidden_layers)
             )
         dtype = dtype or c.dtype
-        shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
         return tuple(
-            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-            for _ in range(c.num_hidden_layers)
+            (
+                jnp.zeros((batch, layer_len(i), c.num_key_value_heads, c.head_dim), dtype),
+                jnp.zeros((batch, layer_len(i), c.num_key_value_heads, c.head_dim), dtype),
+            )
+            for i in range(c.num_hidden_layers)
         )

@@ -45,6 +45,9 @@ __all__ = [
     "kv_update",
     "kv_read",
     "cache_max_len",
+    "kv_ring_update",
+    "ring_key_positions",
+    "quantize_kv_chunk",
 ]
 
 
@@ -266,3 +269,78 @@ def kv_read_raw(layer_cache, dtype, batch: int = None):
         )
     ck, cv = layer_cache
     return ck.astype(dtype), cv.astype(dtype), None, None, None, None
+
+
+# --- sliding-window ring caches (round 5) ----------------------------------
+#
+# A sliding-attention layer (GPT-OSS every other layer, window 128) only
+# ever attends to the last W positions, yet a plain cache stores and
+# STREAMS all max_len slots and masks the rest away — at ctx 8192 that is
+# 64x wasted payload on half the layers. A ring cache stores exactly W
+# slots; writes land at pos % W. Attention reads the PRE-write ring
+# concatenated with the in-chunk K/V (read-then-write), which is exact for
+# any chunk length: every key an in-chunk query needs is either still in
+# the pre-write ring or among the chunk's own keys, so in-chunk overwrites
+# can never clobber a needed key (the post-write-read formulation WOULD
+# lose ring keys overwritten by later in-chunk positions). The
+# absolute-position mask (`ring_key_positions`) hides never-written and
+# out-of-window slots.
+# No torch-reference analogue (the reference never manages caches);
+# the HF/vLLM sliding-window cache is the behavioral model.
+
+
+def _ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos) -> jnp.ndarray:
+    """Write `new` [B, T, ...] into the ring `cache` [B, W, ...] at slots
+    (pos + t) % W; `pos` scalar or [B]. Chunks longer than W keep their
+    last W positions (earlier ones would be overwritten in-chunk)."""
+    W = cache.shape[1]
+    B, T = new.shape[0], new.shape[1]
+    pos = jnp.asarray(pos)
+    if pos.ndim == 0:
+        pos = jnp.broadcast_to(pos, (B,))
+    if T > W:
+        new = new[:, -W:]
+        pos = pos + (T - W)
+        T = W
+    slots = (pos[:, None] + jnp.arange(T)[None, :]) % W  # [B, T], unique/row
+    return jax.vmap(lambda c, n, s: c.at[s].set(n))(cache, new.astype(cache.dtype), slots)
+
+
+def kv_ring_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
+    """Ring-buffer analogue of `kv_update` for a W-slot sliding cache."""
+    if isinstance(layer_cache, QKVCacheLayer):
+        k_qt, v_qt, asym = parse_kv_spec(layer_cache.qtype_name)
+        kd, ks, km = _quantize_slot(k, k_qt, asym)
+        vd, vs, vm = _quantize_slot(v, v_qt, asym)
+        return QKVCacheLayer(
+            _k_data=_ring_write(layer_cache._k_data, kd, pos),
+            _k_scale=_ring_write(layer_cache._k_scale, ks, pos),
+            _v_data=_ring_write(layer_cache._v_data, vd, pos),
+            _v_scale=_ring_write(layer_cache._v_scale, vs, pos),
+            qtype_name=layer_cache.qtype_name,
+            _k_shift=_ring_write(layer_cache._k_shift, km, pos) if asym else None,
+            _v_shift=_ring_write(layer_cache._v_shift, vm, pos) if asym else None,
+        )
+    ck, cv = layer_cache
+    return (_ring_write(ck, k, pos), _ring_write(cv, v, pos))
+
+
+def ring_key_positions(pos0, W: int, batch: int) -> jnp.ndarray:
+    """Absolute positions held by the PRE-write ring slots: slot j holds the
+    largest position < pos0 congruent to j (mod W); negative = never
+    written. `pos0` scalar or [B]; returns [B, W] int32."""
+    pos0 = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32).reshape(-1), (batch,))
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    p = pos0[:, None]
+    # largest value <= p-1 with value % W == j
+    return j + W * jnp.floor_divide(p - 1 - j, W)
+
+
+def quantize_kv_chunk(spec_name: str, k: jnp.ndarray, v: jnp.ndarray, dtype):
+    """Quantize an in-chunk K/V pair into the same raw format `kv_read_raw`
+    returns (payload cast to `dtype`, separate scales/shifts) so a ring
+    layer can concatenate cache and chunk before attention."""
+    k_qt, v_qt, asym = parse_kv_spec(spec_name)
+    kd, ks, km = _quantize_slot(k, k_qt, asym)
+    vd, vs, vm = _quantize_slot(v, v_qt, asym)
+    return kd.astype(dtype), vd.astype(dtype), ks, vs, km, vm

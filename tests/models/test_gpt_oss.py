@@ -157,3 +157,93 @@ def test_fused_expert_quantization_stacked(pair):
     a, b = np.asarray(out2).ravel(), np.asarray(ref2).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
     assert cos > 0.98, cos
+
+
+def _ring_cfg(**kw):
+    kw.setdefault("vocab_size", 128)
+    kw.setdefault("hidden_size", 64)
+    kw.setdefault("intermediate_size", 96)
+    kw.setdefault("num_hidden_layers", 2)
+    kw.setdefault("num_attention_heads", 4)
+    kw.setdefault("num_key_value_heads", 2)
+    kw.setdefault("head_dim", 16)
+    kw.setdefault("num_local_experts", 4)
+    kw.setdefault("num_experts_per_tok", 2)
+    kw.setdefault("sliding_window", 8)
+    kw.setdefault("max_position_embeddings", 64)
+    kw.setdefault("dtype", jnp.float32)
+    return GptOssConfig(**kw)
+
+
+@pytest.mark.parametrize("kv_quant", [None, "qint8"])
+def test_sliding_ring_cache_matches_full(kv_quant):
+    """W-slot ring caches on the sliding layers decode identically to the
+    uniform max_len cache (float: bit-exact attention inputs; int8: same
+    quantization grid) while storing window instead of max_len slots."""
+    cfg = _ring_cfg()
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (1, 21)), jnp.int32)
+
+    outs = {}
+    for ring in (False, True):
+        cache = m.init_kv_cache(1, 40, kv_quant=kv_quant, sliding_ring=ring)
+        if ring:
+            from quanto_tpu.tensor.kv_cache import cache_max_len
+
+            # layer 0 sliding -> W slots; layer 1 full -> max_len slots
+            assert cache_max_len(cache[0]) == 8
+            assert cache_max_len(cache[1]) == 40
+        logits, cache = m(ids[:, :16], cache, 0)
+        toks = [logits[:, -1]]
+        for t in range(16, 21):
+            step, cache = m(ids[:, t : t + 1], cache, t)
+            toks.append(step[:, -1])
+        outs[ring] = np.stack([np.asarray(t) for t in toks])
+    a, b = outs[False].ravel(), outs[True].ravel()
+    if kv_quant is None:
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    else:
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.9999, cos
+
+
+def test_sliding_ring_chunked_prefill_matches_whole():
+    """Ring read-then-write is exact under chunked prefill: prefilling in
+    pieces (crossing the ring wraparound) equals one whole-prompt prefill."""
+    cfg = _ring_cfg()
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(1))
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 128, (1, 24)), jnp.int32)
+
+    cache = m.init_kv_cache(1, 40, sliding_ring=True)
+    whole, _ = m(ids, cache, 0)
+
+    cache = m.init_kv_cache(1, 40, sliding_ring=True)
+    parts = []
+    for c0, c1 in ((0, 10), (10, 17), (17, 24)):  # chunks > and < window 8
+        lg, cache = m(ids[:, c0:c1], cache, c0)
+        parts.append(np.asarray(lg))
+    got = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(got, np.asarray(whole), atol=1e-4, rtol=1e-4)
+
+
+def test_sliding_ring_through_engine():
+    """Ring caches serve through the continuous-batching engine (pooled
+    [B, W] sliding layers + [B, max_len] full layers, per-slot positions)
+    token-identically to single-sequence generation."""
+    from quanto_tpu.models.serving import BatchedEngine
+    from quanto_tpu.models.serve import generate
+
+    cfg = _ring_cfg()
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(2))
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (6, 13)]
+    n_new = 5
+    refs = []
+    for p in prompts:
+        out = generate(m, jnp.asarray(np.asarray(p, np.int32)[None]), n_new)
+        refs.append(np.asarray(out)[0, len(p):].tolist())
+    engine = BatchedEngine(m, max_batch=2, max_len=32)
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref
