@@ -137,7 +137,7 @@ class GptOssAttention(nnx.Module):
         self.sinks = nnx.Param(jnp.zeros((self.num_heads,), c.dtype))
 
     def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None,
-                 ring=False):
+                 ring=False, write_valid=None):
         B, T, _ = x.shape
         H, Hkv, D = self.num_heads, self.num_kv_heads, self.head_dim
         G = H // Hkv
@@ -173,7 +173,7 @@ class GptOssAttention(nnx.Module):
                 ck, cv = k.astype(rk.dtype), v.astype(rv.dtype)
                 cks = cvs = ckm = cvm = None
             cat = lambda a, b: None if a is None else jnp.concatenate([a, b], axis=1)
-            new_cache = kv_ring_update(layer_cache, k, v, cache_pos)
+            new_cache = kv_ring_update(layer_cache, k, v, cache_pos, valid=write_valid)
             k, v = cat(rk, ck), cat(rv, cv)
             k_scale, v_scale = cat(rks, cks), cat(rvs, cvs)
             k_shift, v_shift = cat(rkm, ckm), cat(rvm, cvm)
@@ -280,10 +280,10 @@ class GptOssDecoderLayer(nnx.Module):
         self.post_attention_layernorm = RMSNorm(c.hidden_size, c.rms_norm_eps, c.dtype)
 
     def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None,
-                 ring=False):
+                 ring=False, write_valid=None):
         h, new_cache = self.self_attn(
             self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos,
-            ring=ring,
+            ring=ring, write_valid=write_valid,
         )
         x = x + h
         x = x + self.mlp(self.post_attention_layernorm(x))
@@ -313,18 +313,22 @@ class GptOssForCausalLM(nnx.Module):
         )
 
     def _ring_layers(self, cache) -> bool:
-        """True when the cache stores sliding layers as W-slot RINGS (their
-        capacity is below the full layers') — see init_kv_cache."""
+        """True when the sliding layers' caches are exactly W slots — the
+        ring layout `init_kv_cache` builds. Independent of whether full
+        layers exist (an all-sliding config still rings); a uniform cache
+        that HAPPENS to be W slots is also treated as a ring, which is
+        strictly more correct (the flat path would clamp writes past W)."""
         from ..tensor.kv_cache import cache_max_len
+        from ..tensor.paged_kv import PagedKVLayer
 
         c = self.config
-        if cache is None:
+        w = c.sliding_window
+        if cache is None or w is None:
             return False
         sl = [i for i, t in enumerate(c.layer_types) if t == "sliding_attention"]
-        fl = [i for i, t in enumerate(c.layer_types) if t != "sliding_attention"]
-        return bool(
-            sl and fl and cache_max_len(cache[sl[0]]) < cache_max_len(cache[fl[0]])
-        )
+        if not sl or isinstance(cache[sl[0]], PagedKVLayer):
+            return False  # paged caches are uniform (no ring layout)
+        return cache_max_len(cache[sl[0]]) == w
 
     def _masks(self, B, T, cache, cache_pos, ring=False):
         neg = jnp.finfo(jnp.float32).min
@@ -361,7 +365,14 @@ class GptOssForCausalLM(nnx.Module):
             sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
         return full, sliding
 
-    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None, cache_pos=0):
+    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None,
+                 cache_pos=0, write_len=None):
+        """`write_len` [B] (optional): number of REAL leading tokens per row
+        in this chunk — fixed-shape engine chunks carry pad/garbage tail
+        columns, which ring layers must NOT write (a ring write at
+        (pos + t) % W aliases onto live window slots; the flat cache's
+        "garbage lands at future positions" argument does not apply).
+        Rows with write_len=0 write nothing."""
         from ..tensor.qarray import QArray
 
         c = self.config
@@ -374,6 +385,12 @@ class GptOssForCausalLM(nnx.Module):
             c.rope_scaling, c.max_position_embeddings,
         )
         ring = self._ring_layers(cache)
+        write_valid = None
+        if write_len is not None and ring:
+            write_valid = (
+                jnp.arange(T)[None, :]
+                < jnp.asarray(write_len, jnp.int32).reshape(-1, 1)
+            )
         full_mask, sliding_mask = self._masks(B, T, cache, cache_pos, ring=ring)
         new_cache = [] if cache is not None else None
         for i, layer in enumerate(self.model.layers):
@@ -381,7 +398,7 @@ class GptOssForCausalLM(nnx.Module):
             mask = sliding_mask if sliding else full_mask
             layer_cache = cache[i] if cache is not None else None
             x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos,
-                          ring=ring and sliding)
+                          ring=ring and sliding, write_valid=write_valid)
             if cache is not None:
                 new_cache.append(lc)
         x = self.model.norm(x)

@@ -78,6 +78,16 @@ class BatchedEngine:
         prefill_chunk: Optional[int] = None,
     ):
         self.model = model
+        import inspect
+
+        # Ring-cache models (GPT-OSS sliding windows) take a `write_len`
+        # kwarg masking pad/garbage chunk columns out of their ring writes
+        # (flat caches absorb garbage at future positions; rings alias it
+        # onto live window slots). Detected once; chunk programs pass it
+        # only when supported.
+        self._accepts_write_len = (
+            "write_len" in inspect.signature(type(model).__call__).parameters
+        )
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos_token_id = eos_token_id
@@ -92,6 +102,14 @@ class BatchedEngine:
             if mesh is not None and "sp" in mesh.axis_names and mesh.shape["sp"] > 1
             else None
         )
+        if self._sp_axis is not None and max_len % mesh.shape["sp"] != 0:
+            # cp_cached_attention shards the cache sequence dim evenly; an
+            # indivisible max_len would otherwise surface as an obscure
+            # shard_map error at the first add().
+            raise ValueError(
+                f"max_len ({max_len}) must be divisible by the 'sp' axis "
+                f"size ({mesh.shape['sp']}) for sequence-parallel serving"
+            )
         # Chunked prefill: pad prompts to fixed `prefill_chunk`-token pieces
         # so ONE compiled prefill program serves every prompt length (the
         # default compiles one program per distinct length). Padding garbage
@@ -127,6 +145,7 @@ class BatchedEngine:
         self._sample_only_fn = _sample_only
 
         graphdef = self._graphdef
+        wl_ok = self._accepts_write_len
 
         @jax.jit
         def _prefill(state, ids, slot_cache):
@@ -144,11 +163,13 @@ class BatchedEngine:
             return logits[:, -1], slot_cache
 
         @jax.jit
-        def _prefill_chunk_fn(state, ids, slot_cache, pos, last_idx):
+        def _prefill_chunk_fn(state, ids, slot_cache, pos, last_idx, wlen):
             # Fixed-shape prefill piece at cache offset `pos`; `last_idx`
-            # selects the last REAL token's logits inside the padded chunk.
+            # selects the last REAL token's logits inside the padded chunk;
+            # `wlen` [1] is the real token count (ring-write masking).
             m = nnx.merge(graphdef, state)
-            logits, slot_cache = m(ids, slot_cache, pos)
+            kw = {"write_len": wlen} if wl_ok else {}
+            logits, slot_cache = m(ids, slot_cache, pos, **kw)
             last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
             return last[:, 0], slot_cache
 
@@ -169,21 +190,24 @@ class BatchedEngine:
             return nxt.astype(jnp.int32), cache
 
         @jax.jit
-        def _prefill_batch_chunk(state, ids, cache, pos, last_idx):
+        def _prefill_batch_chunk(state, ids, cache, pos, last_idx, wlen):
             # One fixed-size prefill chunk for EVERY slot through the pooled
             # cache: ids [B, C], per-slot absolute positions `pos` [B] (the
             # same per-slot-position machinery decode uses, just T=C).
             # `last_idx` [B] selects each row's last REAL token inside the
             # chunk (clamped for rows whose last token is elsewhere — the
-            # host keeps a row's logits only for the chunk that contains it).
+            # host keeps a row's logits only for the chunk that contains
+            # it). `wlen` [B]: per-row real token count (0 = row not
+            # participating — ring layers skip its writes entirely).
             m = nnx.merge(graphdef, state)
-            logits, cache = m(ids, cache, pos)
+            kw = {"write_len": wlen} if wl_ok else {}
+            logits, cache = m(ids, cache, pos, **kw)
             idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
             last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             return last, cache
 
         @jax.jit
-        def _mixed_chunk(state, ids, cache, pos, last_idx, key):
+        def _mixed_chunk(state, ids, cache, pos, last_idx, key, wlen):
             # One MIXED step: prefilling rows carry their next prompt chunk,
             # decoding rows carry [last_tok, 0, ...] (their real token at
             # column 0, garbage after — the same [B, C] program either way,
@@ -193,7 +217,8 @@ class BatchedEngine:
             # row); sampling happens in-program so the host fetches ONE [B]
             # token vector per chunk.
             m = nnx.merge(graphdef, state)
-            logits, cache = m(ids, cache, pos)
+            kw = {"write_len": wlen} if wl_ok else {}
+            logits, cache = m(ids, cache, pos, **kw)
             idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
             last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             nxt = self._sample(last, key).astype(jnp.int32)
@@ -262,6 +287,7 @@ class BatchedEngine:
             last, slot_cache = self._run(
                 self._prefill_chunk_fn, self._state, jnp.asarray(chunk[None, :]),
                 slot_cache, jnp.int32(start_pos + c0), jnp.int32(r - 1),
+                jnp.asarray([r], jnp.int32),
             )
             c0 += C
         return last, slot_cache
@@ -446,9 +472,11 @@ class BatchedEngine:
                     np.int32,
                 )
                 last_idx = np.full((B,), -1, np.int32)
+                wlen = np.zeros((B,), np.int32)
                 for (p, _), slot in zip(batched, slots):
                     if j * C < len(p):  # this row still has real tokens
                         pos[slot] = j * C
+                        wlen[slot] = min(C, len(p) - j * C)
                         li = len(p) - 1 - j * C
                         if 0 <= li < C:
                             last_idx[slot] = li
@@ -463,7 +491,7 @@ class BatchedEngine:
                 last, self._cache = self._run(
                     self._prefill_batch_chunk_fn, self._state,
                     jnp.asarray(chunk), self._cache, jnp.asarray(pos),
-                    jnp.asarray(last_idx),
+                    jnp.asarray(last_idx), jnp.asarray(wlen),
                 )
                 keep = [s for s in slots if last_idx[s] >= 0]
                 if keep:
@@ -502,14 +530,14 @@ class BatchedEngine:
         the whole prompt before any active slot decodes again).
 
         Requires `prefill_chunk`; prompts whose padded length would spill
-        past `max_len` fall back to blocking `add()`. Returns the request id
-        immediately even when no slot is free (the request waits in an
-        admission queue)."""
+        past `max_len` prefill blockingly when their slot frees instead of
+        in chunks. Returns the request id immediately even when no slot is
+        free (the request waits in an admission queue)."""
         C = self.prefill_chunk
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         if len(prompt) + max_new_tokens > self.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
-        if C is None or -(-len(prompt) // C) * C > self.max_len:
+        if (C is None or -(-len(prompt) // C) * C > self.max_len) and self._free:
             return self.add(prompt, max_new_tokens)
         rid = self._next_rid
         self._next_rid += 1
@@ -520,8 +548,22 @@ class BatchedEngine:
         return rid
 
     def _admit_queued(self) -> None:
+        C = self.prefill_chunk
         while self._queue and self._free:
             req = self._queue.pop(0)
+            if C is None or -(-req.prompt_len // C) * C > self.max_len:
+                # Off the chunk-participation envelope: blocking prefill at
+                # admission time (the enqueue() contract still holds — the
+                # request waited in the queue until this slot freed).
+                inner_rid = self.add(req.prompt, req.max_new_tokens)
+                admitted = self._requests.pop(inner_rid)
+                req.slot = admitted.slot
+                req.tokens = admitted.tokens
+                req.done = admitted.done
+                self._requests[req.rid] = req
+                if not req.done:
+                    self._by_slot[req.slot] = req
+                continue
             slot = self._free.pop()
             req.slot = slot
             self._pos[slot] = 0
@@ -548,6 +590,7 @@ class BatchedEngine:
             [min(int(self._pos[s]), self.max_len - C) for s in range(B)], np.int32
         )
         last_idx = np.zeros((B,), np.int32)
+        wlen = np.zeros((B,), np.int32)
         finals = set()
         for slot, st in self._prefill_by_slot.items():
             p = st.req.prompt
@@ -555,6 +598,7 @@ class BatchedEngine:
             chunk = p[c0 : c0 + C]
             ids[slot, : len(chunk)] = chunk
             pos[slot] = c0
+            wlen[slot] = len(chunk)
             if c0 + len(chunk) >= len(p):
                 last_idx[slot] = len(chunk) - 1
                 finals.add(slot)
@@ -562,10 +606,11 @@ class BatchedEngine:
         for slot, req in self._by_slot.items():
             ids[slot, 0] = self._last_tok[slot]
             pos[slot] = self._pos[slot]
+            wlen[slot] = 1
         self._key, sub = jax.random.split(self._key)
         nxt, self._cache = self._run(
             self._mixed_fn, self._state, jnp.asarray(ids), self._cache,
-            jnp.asarray(pos), jnp.asarray(last_idx), sub,
+            jnp.asarray(pos), jnp.asarray(last_idx), sub, jnp.asarray(wlen),
         )
         nxt = self._fetch(nxt)
         out: Dict[int, int] = {}
@@ -1108,6 +1153,17 @@ class DistributedEngine(BatchedEngine):
         if source_has and prompts:
             for i, p in enumerate(prompts[:count]):
                 p = np.asarray(p, np.int32).reshape(-1)
+                if len(p) > max_prompt_len:
+                    # Raise BEFORE entering the collective with a clear
+                    # message (an exception mid-broadcast on the owner
+                    # leaves the other processes blocked with no context;
+                    # SPMD failure semantics still require killing them,
+                    # but the error now says why).
+                    raise ValueError(
+                        f"prompt {i} has {len(p)} tokens > max_prompt_len "
+                        f"{max_prompt_len}; truncate or raise the bound "
+                        "(same value on every process)"
+                    )
                 buf[i, 0] = len(p)
                 buf[i, 1 : 1 + len(p)] = p
         buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))

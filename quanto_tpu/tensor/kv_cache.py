@@ -289,40 +289,57 @@ def kv_read_raw(layer_cache, dtype, batch: int = None):
 # the HF/vLLM sliding-window cache is the behavioral model.
 
 
-def _ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos) -> jnp.ndarray:
+def _ring_write(cache: jnp.ndarray, new: jnp.ndarray, pos, valid=None) -> jnp.ndarray:
     """Write `new` [B, T, ...] into the ring `cache` [B, W, ...] at slots
     (pos + t) % W; `pos` scalar or [B]. Chunks longer than W keep their
-    last W positions (earlier ones would be overwritten in-chunk)."""
+    last W positions (earlier ones would be overwritten in-chunk).
+
+    `valid` [B, T] bool masks PAD/GARBAGE columns (fixed-shape engine
+    chunks): masked positions keep the slot's current content. Unlike the
+    flat-cache layout, a ring CANNOT rely on "garbage lands at future
+    positions": (pos + t) % W aliases a future position onto a live window
+    slot, so unmasked pad writes would destroy real keys."""
     W = cache.shape[1]
     B, T = new.shape[0], new.shape[1]
     pos = jnp.asarray(pos)
     if pos.ndim == 0:
         pos = jnp.broadcast_to(pos, (B,))
+    if valid is None:
+        valid = jnp.ones((B, T), bool)
     if T > W:
-        new = new[:, -W:]
+        new, valid = new[:, -W:], valid[:, -W:]
         pos = pos + (T - W)
         T = W
     slots = (pos[:, None] + jnp.arange(T)[None, :]) % W  # [B, T], unique/row
-    return jax.vmap(lambda c, n, s: c.at[s].set(n))(cache, new.astype(cache.dtype), slots)
+    new = new.astype(cache.dtype)
+
+    def row(c, n, s, vld):
+        keep = c[s]  # current content of the target slots
+        vld = vld.reshape((T,) + (1,) * (n.ndim - 1))
+        return c.at[s].set(jnp.where(vld, n, keep))
+
+    return jax.vmap(row)(cache, new, slots, valid)
 
 
-def kv_ring_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos) -> object:
-    """Ring-buffer analogue of `kv_update` for a W-slot sliding cache."""
+def kv_ring_update(layer_cache, k: jnp.ndarray, v: jnp.ndarray, pos, valid=None) -> object:
+    """Ring-buffer analogue of `kv_update` for a W-slot sliding cache.
+    `valid` [B, T] masks pad/garbage chunk columns (see `_ring_write`)."""
     if isinstance(layer_cache, QKVCacheLayer):
         k_qt, v_qt, asym = parse_kv_spec(layer_cache.qtype_name)
         kd, ks, km = _quantize_slot(k, k_qt, asym)
         vd, vs, vm = _quantize_slot(v, v_qt, asym)
+        w = lambda c, n: _ring_write(c, n, pos, valid)
         return QKVCacheLayer(
-            _k_data=_ring_write(layer_cache._k_data, kd, pos),
-            _k_scale=_ring_write(layer_cache._k_scale, ks, pos),
-            _v_data=_ring_write(layer_cache._v_data, vd, pos),
-            _v_scale=_ring_write(layer_cache._v_scale, vs, pos),
+            _k_data=w(layer_cache._k_data, kd),
+            _k_scale=w(layer_cache._k_scale, ks),
+            _v_data=w(layer_cache._v_data, vd),
+            _v_scale=w(layer_cache._v_scale, vs),
             qtype_name=layer_cache.qtype_name,
-            _k_shift=_ring_write(layer_cache._k_shift, km, pos) if asym else None,
-            _v_shift=_ring_write(layer_cache._v_shift, vm, pos) if asym else None,
+            _k_shift=w(layer_cache._k_shift, km) if asym else None,
+            _v_shift=w(layer_cache._v_shift, vm) if asym else None,
         )
     ck, cv = layer_cache
-    return (_ring_write(ck, k, pos), _ring_write(cv, v, pos))
+    return (_ring_write(ck, k, pos, valid), _ring_write(cv, v, pos, valid))
 
 
 def ring_key_positions(pos0, W: int, batch: int) -> jnp.ndarray:

@@ -276,8 +276,10 @@ class WeightQBitsTpuArray(QArray):
             gs_pad = -128 * (-gs // 128)  # ceil to the 128-lane multiple
             g = K // gs
             # Tail-align so packed columns tile AND whole groups fit:
-            # eligible() needs (Kpad/vals) % 128 == 0 and (Kpad/vals) % gs_pad == 0.
-            align = vals * gs_pad if gs_pad % 128 == 0 else vals * 128 * gs_pad
+            # eligible() needs (Kpad/vals) % 128 == 0 and (Kpad/vals) %
+            # gs_pad == 0; gs_pad is a 128-multiple by construction, so
+            # vals * gs_pad covers both.
+            align = vals * gs_pad
             kpad = -align * (-(g * gs_pad) // align)
             geom = (npad, kpad, gs_pad)
         if (geom[0], geom[1]) == (N, K) and geom[2] in (group_size, None):

@@ -247,3 +247,64 @@ def test_sliding_ring_through_engine():
     engine.run_to_completion()
     for rid, ref in zip(rids, refs):
         assert engine.result(rid) == ref
+
+
+def test_sliding_ring_engine_chunked_prefill_and_mixed():
+    """Ring caches under the engine's FIXED-SHAPE chunk programs: padded
+    prefill tails and mixed-step garbage columns must not clobber live
+    window slots (round-5 review finding: ring writes alias future
+    positions onto the window; the engine passes `write_len` so pad
+    columns are skipped). Prompt lengths deliberately not chunk-multiples,
+    with decode active during later admissions."""
+    from quanto_tpu.models.serving import BatchedEngine
+    from quanto_tpu.models.serve import generate
+
+    cfg = _ring_cfg()
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(4))
+    rng = np.random.RandomState(5)
+    # len 21: crosses the W=8 ring twice and pads the final chunk (C=6).
+    prompts = [rng.randint(0, 128, size=L).tolist() for L in (21, 13)]
+    n_new = 6
+    refs = []
+    for p in prompts:
+        out = generate(m, jnp.asarray(np.asarray(p, np.int32)[None]), n_new)
+        refs.append(np.asarray(out)[0, len(p):].tolist())
+
+    # chunked add() path (padded final chunk)
+    engine = BatchedEngine(m, max_batch=2, max_len=32, prefill_chunk=6)
+    rids = [engine.add(p, max_new_tokens=n_new) for p in prompts]
+    engine.run_to_completion()
+    for rid, ref in zip(rids, refs):
+        assert engine.result(rid) == ref, "chunked-prefill ring corruption"
+
+    # mixed enqueue path: second prompt prefills in chunks WHILE the first
+    # decodes (garbage decode-row columns must be skipped too).
+    engine = BatchedEngine(m, max_batch=2, max_len=32, prefill_chunk=6)
+    r0 = engine.enqueue(prompts[0], max_new_tokens=n_new)
+    engine.serve_step()  # starts prompt 0's chunks
+    r1 = engine.enqueue(prompts[1], max_new_tokens=n_new)
+    engine.run_to_completion()
+    assert engine.result(r0) == refs[0], "mixed-step ring corruption (r0)"
+    assert engine.result(r1) == refs[1], "mixed-step ring corruption (r1)"
+
+
+def test_sliding_ring_all_sliding_config():
+    """All-sliding configs (no full-attention layer) still take the ring
+    path (round-5 review finding: the old detection required a full layer,
+    leaving W-slot caches on the flat-write path = silent clamping)."""
+    cfg = _ring_cfg(layer_types=("sliding_attention", "sliding_attention"))
+    m = GptOssForCausalLM(cfg, rngs=nnx.Rngs(6))
+    ids = jnp.asarray(np.random.RandomState(7).randint(0, 128, (1, 18)), jnp.int32)
+    ref, _ = m(ids)  # no-cache reference (sliding mask only)
+
+    cache = m.init_kv_cache(1, 30, sliding_ring=True)
+    assert m._ring_layers(cache)
+    logits, cache = m(ids[:, :12], cache, 0)
+    outs = [logits[:, -1:]]
+    for t in range(12, 18):
+        step, cache = m(ids[:, t : t + 1], cache, t)
+        outs.append(step)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got[:, 1:]), np.asarray(ref[:, 12:]), atol=1e-4, rtol=1e-4
+    )
