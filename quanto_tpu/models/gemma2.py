@@ -123,7 +123,8 @@ class Gemma2Attention(nnx.Module):
         self.v_proj = lin(c.hidden_size, self.num_kv_heads * self.head_dim)
         self.o_proj = lin(self.num_heads * self.head_dim, c.hidden_size)
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False,
+                 ring=False, write_valid=None):
         B, T, _ = x.shape
         q = _maybe_deq(self.q_proj(x)).reshape(B, T, self.num_heads, self.head_dim)
         k = _maybe_deq(self.k_proj(x)).reshape(B, T, self.num_kv_heads, self.head_dim)
@@ -133,7 +134,17 @@ class Gemma2Attention(nnx.Module):
 
         new_cache = None
         k_scale = v_scale = k_shift = v_shift = None
-        if layer_cache is not None:
+        if layer_cache is not None and ring:
+            # W-slot ring cache on a sliding layer (models/sliding.py):
+            # read-concat-write; the caller's mask covers [W + T] keys.
+            from .sliding import ring_attention_inputs
+
+            k, v, k_scale, v_scale, k_shift, v_shift, new_cache = (
+                ring_attention_inputs(
+                    layer_cache, k, v, cache_pos, write_valid, q.dtype, B
+                )
+            )
+        elif layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
             new_cache = kv_update(layer_cache, k, v, cache_pos)
@@ -196,8 +207,12 @@ class Gemma2DecoderLayer(nnx.Module):
         self.pre_feedforward_layernorm = norm()
         self.post_feedforward_layernorm = norm()
 
-    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False):
-        h, new_cache = self.self_attn(self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos, causal_ok=causal_ok)
+    def __call__(self, x, cos, sin, mask, layer_cache=None, cache_pos=None, causal_ok=False,
+                 ring=False, write_valid=None):
+        h, new_cache = self.self_attn(
+            self.input_layernorm(x), cos, sin, mask, layer_cache, cache_pos,
+            causal_ok=causal_ok, ring=ring, write_valid=write_valid,
+        )
         x = x + self.post_attention_layernorm(h)
         x = x + self.post_feedforward_layernorm(self.mlp(self.pre_feedforward_layernorm(x)))
         return x, new_cache
@@ -226,8 +241,9 @@ class Gemma2ForCausalLM(nnx.Module):
                 param_dtype=config.dtype, rngs=rngs,
             )
 
-    def _masks(self, B, T, cache, cache_pos):
-        """(full_mask, sliding_mask), each [B or 1, 1, T, S]."""
+    def _masks(self, B, T, cache, cache_pos, ring=False):
+        """(full_mask, sliding_mask), each [B or 1, 1, T, S] (S = W + T for
+        ring-layout sliding layers)."""
         neg = jnp.finfo(jnp.float32).min
         w = self.config.sliding_window
         if cache is None:
@@ -236,20 +252,31 @@ class Gemma2ForCausalLM(nnx.Module):
         else:
             from ..tensor.kv_cache import cache_max_len
 
-            max_len = cache_max_len(cache[0])
+            # Size the full mask from a FULL layer (ring sliding layers
+            # hold only W slots).
+            lt = self.config.layer_types
+            fi = next((i for i, t in enumerate(lt) if t != "sliding_attention"), 0)
+            max_len = cache_max_len(cache[fi])
             pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
             positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
             q_pos = positions[:, None, :, None]
             k_pos = jnp.arange(max_len)[None, None, None, :]
         causal = k_pos <= q_pos
         full = jnp.where(causal, 0.0, neg)
-        # Window includes the current token: attend iff q-w < k <= q
-        # (transformers masking_utils sliding_window_overlay).
-        sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
+        if ring:
+            from .sliding import ring_mask
+
+            sliding = ring_mask(positions, q_pos, cache_pos, w, B, neg)
+        else:
+            # Window includes the current token: attend iff q-w < k <= q
+            # (transformers masking_utils sliding_window_overlay).
+            sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
         return full, sliding
 
-    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None, cache_pos=0):
+    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None,
+                 cache_pos=0, write_len=None):
         from ..tensor.qarray import QArray
+        from .sliding import use_ring, write_valid_mask
 
         c = self.config
         B, T = input_ids.shape
@@ -260,7 +287,9 @@ class Gemma2ForCausalLM(nnx.Module):
         pos0 = jnp.asarray(cache_pos).reshape(-1, 1)
         positions = jnp.broadcast_to(pos0 + jnp.arange(T)[None, :], (B, T))
         cos, sin = _rope(positions, c.head_dim, c.rope_theta, x.dtype)
-        full_mask, sliding_mask = self._masks(B, T, cache, cache_pos)
+        ring = use_ring(c, cache)
+        write_valid = write_valid_mask(write_len, T) if ring else None
+        full_mask, sliding_mask = self._masks(B, T, cache, cache_pos, ring=ring)
 
         new_cache = [] if cache is not None else None
         from ..ops.attention import static_zero_pos
@@ -270,8 +299,12 @@ class Gemma2ForCausalLM(nnx.Module):
             sliding = c.layer_types[i] == "sliding_attention"
             mask = sliding_mask if sliding else full_mask
             layer_cache = cache[i] if cache is not None else None
-            ok = causal0 and (not sliding or c.sliding_window >= T)
-            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos, causal_ok=ok)
+            lring = ring and sliding
+            # Flash prefill reads post-write cache state; ring layers use
+            # the concat path instead.
+            ok = causal0 and (not sliding or c.sliding_window >= T) and not lring
+            x, lc = layer(x, cos, sin, mask, layer_cache, cache_pos,
+                          causal_ok=ok, ring=lring, write_valid=write_valid)
             if cache is not None:
                 new_cache.append(lc)
 
@@ -286,16 +319,28 @@ class Gemma2ForCausalLM(nnx.Module):
         logits = _softcap(logits, c.final_logit_softcapping)
         return logits, (tuple(new_cache) if new_cache is not None else None)
 
-    def init_kv_cache(self, batch: int, max_len: int, dtype=None, kv_quant=None):
+    def init_kv_cache(self, batch: int, max_len: int, dtype=None, kv_quant=None,
+                      sliding_ring: bool = True):
+        from .sliding import layer_cache_len
+
         c = self.config
+
+        def ll(i):
+            return layer_cache_len(c, i, max_len, bool(sliding_ring))
+
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
             qt = kv_quant  # qtype or KV spec name; parsed by init_quantized_kv_cache
-            return init_quantized_kv_cache(
-                c.num_hidden_layers, batch, max_len, c.num_key_value_heads, c.head_dim, qt
+            return tuple(
+                init_quantized_kv_cache(
+                    1, batch, ll(i), c.num_key_value_heads, c.head_dim, qt
+                )[0]
+                for i in range(c.num_hidden_layers)
             )
         dtype = dtype or c.dtype
-        shape = (batch, max_len, c.num_key_value_heads, c.head_dim)
         return tuple(
-            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)) for _ in range(c.num_hidden_layers)
+            (
+                jnp.zeros((batch, ll(i), c.num_key_value_heads, c.head_dim), dtype),
+                jnp.zeros((batch, ll(i), c.num_key_value_heads, c.head_dim), dtype),
+            ) for i in range(c.num_hidden_layers)
         )

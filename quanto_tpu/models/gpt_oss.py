@@ -155,28 +155,13 @@ class GptOssAttention(nnx.Module):
             # ring notes) — then write the chunk at pos % W for the next
             # call. The caller's mask is built over [W + T] keys by
             # absolute position (`GptOssForCausalLM._masks`).
-            from ..tensor.kv_cache import (
-                QKVCacheLayer,
-                kv_read_raw,
-                kv_ring_update,
-                quantize_kv_chunk,
-            )
+            from .sliding import ring_attention_inputs
 
-            rk, rv, rks, rvs, rkm, rvm = kv_read_raw(layer_cache, q.dtype, B)
-            if isinstance(layer_cache, QKVCacheLayer):
-                # Quantize the chunk exactly as the cache would store it, so
-                # in-chunk keys see the same numerics as cached ones.
-                ck, cv, cks, cvs, ckm, cvm = quantize_kv_chunk(
-                    layer_cache.qtype_name, k, v, q.dtype
+            k, v, k_scale, v_scale, k_shift, v_shift, new_cache = (
+                ring_attention_inputs(
+                    layer_cache, k, v, cache_pos, write_valid, q.dtype, B
                 )
-            else:
-                ck, cv = k.astype(rk.dtype), v.astype(rv.dtype)
-                cks = cvs = ckm = cvm = None
-            cat = lambda a, b: None if a is None else jnp.concatenate([a, b], axis=1)
-            new_cache = kv_ring_update(layer_cache, k, v, cache_pos, valid=write_valid)
-            k, v = cat(rk, ck), cat(rv, cv)
-            k_scale, v_scale = cat(rks, cks), cat(rvs, cvs)
-            k_shift, v_shift = cat(rkm, ckm), cat(rvm, cvm)
+            )
         elif layer_cache is not None:
             from ..tensor.kv_cache import kv_read_raw, kv_update
 
@@ -313,22 +298,9 @@ class GptOssForCausalLM(nnx.Module):
         )
 
     def _ring_layers(self, cache) -> bool:
-        """True when the sliding layers' caches are exactly W slots — the
-        ring layout `init_kv_cache` builds. Independent of whether full
-        layers exist (an all-sliding config still rings); a uniform cache
-        that HAPPENS to be W slots is also treated as a ring, which is
-        strictly more correct (the flat path would clamp writes past W)."""
-        from ..tensor.kv_cache import cache_max_len
-        from ..tensor.paged_kv import PagedKVLayer
+        from .sliding import use_ring
 
-        c = self.config
-        w = c.sliding_window
-        if cache is None or w is None:
-            return False
-        sl = [i for i, t in enumerate(c.layer_types) if t == "sliding_attention"]
-        if not sl or isinstance(cache[sl[0]], PagedKVLayer):
-            return False  # paged caches are uniform (no ring layout)
-        return cache_max_len(cache[sl[0]]) == w
+        return use_ring(self.config, cache)
 
     def _masks(self, B, T, cache, cache_pos, ring=False):
         neg = jnp.finfo(jnp.float32).min
@@ -351,16 +323,9 @@ class GptOssForCausalLM(nnx.Module):
         causal = k_pos <= q_pos
         full = jnp.where(causal, 0.0, neg)
         if ring:
-            # Sliding layers attend over [W ring slots | T in-chunk keys]
-            # tagged with ABSOLUTE positions (never-written slots < 0).
-            from ..tensor.kv_cache import ring_key_positions
+            from .sliding import ring_mask
 
-            k_abs = jnp.concatenate(
-                [ring_key_positions(cache_pos, w, B), positions], axis=1
-            )  # [B, W + T]
-            ka = k_abs[:, None, None, :]
-            ok = (ka >= 0) & (ka <= q_pos) & (ka > q_pos - w)
-            sliding = jnp.where(ok, 0.0, neg)
+            sliding = ring_mask(positions, q_pos, cache_pos, w, B, neg)
         else:
             sliding = jnp.where(causal & (k_pos > q_pos - w), 0.0, neg)
         return full, sliding
@@ -387,10 +352,9 @@ class GptOssForCausalLM(nnx.Module):
         ring = self._ring_layers(cache)
         write_valid = None
         if write_len is not None and ring:
-            write_valid = (
-                jnp.arange(T)[None, :]
-                < jnp.asarray(write_len, jnp.int32).reshape(-1, 1)
-            )
+            from .sliding import write_valid_mask
+
+            write_valid = write_valid_mask(write_len, T)
         full_mask, sliding_mask = self._masks(B, T, cache, cache_pos, ring=ring)
         new_cache = [] if cache is not None else None
         for i, layer in enumerate(self.model.layers):
@@ -416,12 +380,12 @@ class GptOssForCausalLM(nnx.Module):
         and attention reads drop by max_len/W (64x at ctx 8192 for the
         released window 128), exactly (kv_cache.py ring notes). Pass
         sliding_ring=False for uniform max_len layers."""
+        from .sliding import layer_cache_len
+
         c = self.config
-        w = c.sliding_window
-        ring = bool(sliding_ring) and w is not None and max_len > w
 
         def layer_len(i):
-            return w if ring and c.layer_types[i] == "sliding_attention" else max_len
+            return layer_cache_len(c, i, max_len, bool(sliding_ring))
 
         if kv_quant is not None:
             from ..tensor.kv_cache import init_quantized_kv_cache
