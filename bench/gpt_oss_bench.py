@@ -132,7 +132,7 @@ def fidelity_arm(on_tpu):
     return cos
 
 
-def perf_arm(on_tpu):
+def perf_arm(on_tpu, full=False):
     import quanto_tpu as qt
     from quanto_tpu.models import GptOssConfig, GptOssForCausalLM
     from quanto_tpu.models.serve import make_decode_fn, make_prefill_fn
@@ -144,24 +144,35 @@ def perf_arm(on_tpu):
         log("[perf] skipped off-TPU")
         return
 
-    cfg = GptOssConfig(
-        vocab_size=32000, hidden_size=2880, intermediate_size=2880,
-        num_hidden_layers=16, num_attention_heads=64, num_key_value_heads=8,
-        head_dim=64, num_local_experts=32, num_experts_per_tok=4,
-        max_position_embeddings=8192, dtype=jnp.bfloat16,
-    )
+    if full:
+        # The RELEASED gpt-oss-20b geometry (24 layers, 201k vocab) with
+        # int4 fused experts AND an int4 lm_head (padded kernel: K=2880):
+        # ~11.6 GiB on the 16 GB chip. Random weights; the drive is the
+        # full-architecture compile + rate, not quality.
+        cfg = GptOssConfig(dtype=jnp.bfloat16)  # released defaults
+    else:
+        cfg = GptOssConfig(
+            vocab_size=32000, hidden_size=2880, intermediate_size=2880,
+            num_hidden_layers=16, num_attention_heads=64, num_key_value_heads=8,
+            head_dim=64, num_local_experts=32, num_experts_per_tok=4,
+            max_position_embeddings=8192, dtype=jnp.bfloat16,
+        )
     # int4 routed-expert payload (padded 2880->3072 contraction):
     eb = cfg.num_local_experts * (5760 * 3072 + 2880 * 3072) / 2
     log(f"[perf] expert bytes/layer {eb/2**20:.0f} MiB x {cfg.num_hidden_layers} "
         f"layers = {cfg.num_hidden_layers*eb/2**30:.2f} GiB int4; top-4 of 32 "
         f"-> selective streams 12.5% at B=1")
 
-    log("[perf] building 16-layer 20b-shaped model on host...")
+    tag = "REAL 24-layer gpt-oss-20b geometry (int4 head)" if full else "16-layer 20b-shaped model"
+    log(f"[perf] building {tag} on host...")
     t0 = time.time()
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         model = GptOssForCausalLM(cfg, rngs=nnx.Rngs(0))
-        qt.quantize(model, weights="qint4", exclude="lm_head")
+        if full:
+            qt.quantize(model, weights="qint4")  # incl. the 201k lm_head
+        else:
+            qt.quantize(model, weights="qint4", exclude="lm_head")
         ops_config.set_backend(pallas_qbits=True)
         try:
             qt.freeze(model)
@@ -220,12 +231,20 @@ def perf_arm(on_tpu):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="perf arm at the released 24-layer 201k-vocab "
+                    "geometry with an int4 lm_head (padded kernel)")
+    args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/quanto_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     on_tpu = jax.default_backend() == "tpu"
     log(f"backend: {jax.default_backend()}")
-    fidelity_arm(on_tpu)
-    perf_arm(on_tpu)
+    if not args.full:
+        fidelity_arm(on_tpu)
+    perf_arm(on_tpu, full=args.full)
 
 
 if __name__ == "__main__":
