@@ -214,7 +214,11 @@ def perf_arm(on_tpu, full=False):
         moe_mm._SEL_MAX = sel_max
 
     prefill = make_prefill_fn(graphdef)
-    T = 2048
+    # Full geometry: T=1024 keeps the [1, T, 201088] f32 logits tensor of
+    # the full-logits prefill under the 16 GB budget (the ENGINE's prefill
+    # avoids it entirely via logits_indices; this arm measures the raw
+    # whole-prompt program).
+    T = 1024 if full else 2048
     cache = model.init_kv_cache(1, T + 8, kv_quant="qint8")
     ids = jnp.asarray(
         np.random.RandomState(0).randint(0, cfg.vocab_size, (1, T)), jnp.int32

@@ -274,7 +274,7 @@ class Gemma2ForCausalLM(nnx.Module):
         return full, sliding
 
     def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None,
-                 cache_pos=0, write_len=None):
+                 cache_pos=0, write_len=None, logits_indices=None):
         from ..tensor.qarray import QArray
         from .sliding import use_ring, write_valid_mask
 
@@ -309,6 +309,9 @@ class Gemma2ForCausalLM(nnx.Module):
                 new_cache.append(lc)
 
         x = self.model.norm(x)
+        from .llama import _select_logit_rows
+
+        x = _select_logit_rows(x, logits_indices, B)
         if self.lm_head is None:
             emb = self.model.embed_tokens.embedding.get_value()
             if isinstance(emb, QArray):

@@ -331,7 +331,7 @@ class GptOssForCausalLM(nnx.Module):
         return full, sliding
 
     def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None,
-                 cache_pos=0, write_len=None):
+                 cache_pos=0, write_len=None, logits_indices=None):
         """`write_len` [B] (optional): number of REAL leading tokens per row
         in this chunk — fixed-shape engine chunks carry pad/garbage tail
         columns, which ring layers must NOT write (a ring write at
@@ -366,6 +366,9 @@ class GptOssForCausalLM(nnx.Module):
             if cache is not None:
                 new_cache.append(lc)
         x = self.model.norm(x)
+        from .llama import _select_logit_rows
+
+        x = _select_logit_rows(x, logits_indices, B)
         logits = self.lm_head(x)
         if isinstance(logits, QArray):
             logits = logits.dequantize()

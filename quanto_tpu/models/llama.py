@@ -118,6 +118,17 @@ class RMSNorm(nnx.Module):
         return (out * w).astype(x.dtype)
 
 
+def _select_logit_rows(x: jnp.ndarray, logits_indices, B: int) -> jnp.ndarray:
+    """Slice per-row hidden states at `logits_indices` (scalar or [B])
+    BEFORE the lm_head — [B, T, H] -> [B, 1, H]; identity when None."""
+    if logits_indices is None:
+        return x
+    idx = jnp.broadcast_to(
+        jnp.asarray(logits_indices, jnp.int32).reshape(-1), (B,)
+    )
+    return jnp.take_along_axis(x, idx[:, None, None], axis=1)
+
+
 def freeze_rope_scaling(rs) -> Optional[Tuple[Tuple[str, Any], ...]]:
     """HF rope_scaling dict -> hashable sorted tuple (config-safe), or None."""
     if not rs:
@@ -453,6 +464,7 @@ class LlamaForCausalLM(nnx.Module):
         input_ids: jnp.ndarray,
         cache: Optional[KVCache] = None,
         cache_pos=0,
+        logits_indices=None,
     ):
         """Forward pass.
 
@@ -461,6 +473,13 @@ class LlamaForCausalLM(nnx.Module):
         are written at `cache_pos` (prefill with T>1 or decode with T=1).
         `cache_pos` may be a scalar (shared) or a [B] vector of per-slot
         positions (continuous batching). Returns (logits, new_cache or None).
+
+        `logits_indices` (scalar or [B], optional): compute logits ONLY at
+        these per-row positions (returned as [B, 1, V]) — the hidden states
+        are sliced BEFORE the lm_head, so prefill skips O(T·V) logits
+        memory and (T-1)/T of the head matmul (the serving engines pass
+        each row's last real token; a 201k-vocab T=2048 prefill otherwise
+        materializes a 1.6 GB f32 logits tensor).
         """
         from ..tensor.qarray import QArray
 
@@ -500,6 +519,7 @@ class LlamaForCausalLM(nnx.Module):
                 new_cache.append(lc)
 
         x = self.model.norm(x)
+        x = _select_logit_rows(x, logits_indices, B)
         if self.lm_head is None:
             emb = self.model.embed_tokens.embedding.get_value()
             if isinstance(emb, QArray):

@@ -139,7 +139,8 @@ class MixtralForCausalLM(nnx.Module):
     def init_kv_cache(self, batch: int, max_len: int, dtype=None, kv_quant=None):
         return init_kv_cache(self.config, batch, max_len, dtype, kv_quant)
 
-    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None, cache_pos=0):
+    def __call__(self, input_ids: jnp.ndarray, cache: Optional[KVCache] = None,
+                 cache_pos=0, logits_indices=None):
         from ..tensor.qarray import QArray
 
         c = self.config
@@ -169,6 +170,9 @@ class MixtralForCausalLM(nnx.Module):
             if cache is not None:
                 new_cache.append(lc)
         x = self.model.norm(x)
+        from .llama import _select_logit_rows
+
+        x = _select_logit_rows(x, logits_indices, B)
         if self.lm_head is None:
             emb = self.model.embed_tokens.embedding.get_value()
             if isinstance(emb, QArray):

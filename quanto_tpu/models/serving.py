@@ -85,9 +85,12 @@ class BatchedEngine:
         # (flat caches absorb garbage at future positions; rings alias it
         # onto live window slots). Detected once; chunk programs pass it
         # only when supported.
-        self._accepts_write_len = (
-            "write_len" in inspect.signature(type(model).__call__).parameters
-        )
+        sig = inspect.signature(type(model).__call__).parameters
+        self._accepts_write_len = "write_len" in sig
+        # `logits_indices`: slice hidden states at each row's last real
+        # token BEFORE the lm_head — prefill skips O(T*vocab) logits memory
+        # and (T-1)/T of the head matmul (decisive at 128k-201k vocabs).
+        self._accepts_logits_idx = "logits_indices" in sig
         self.max_batch = max_batch
         self.max_len = max_len
         self.eos_token_id = eos_token_id
@@ -146,10 +149,16 @@ class BatchedEngine:
 
         graphdef = self._graphdef
         wl_ok = self._accepts_write_len
+        li_ok = self._accepts_logits_idx
 
         @jax.jit
         def _prefill(state, ids, slot_cache):
             m = nnx.merge(graphdef, state)
+            if li_ok:
+                logits, slot_cache = m(
+                    ids, slot_cache, 0, logits_indices=ids.shape[1] - 1
+                )
+                return logits[:, 0], slot_cache
             logits, slot_cache = m(ids, slot_cache, 0)
             return logits[:, -1], slot_cache
 
@@ -159,6 +168,11 @@ class BatchedEngine:
             # positions < pos are already present in the cache and the
             # model's mask lets queries attend to them).
             m = nnx.merge(graphdef, state)
+            if li_ok:
+                logits, slot_cache = m(
+                    ids, slot_cache, pos, logits_indices=ids.shape[1] - 1
+                )
+                return logits[:, 0], slot_cache
             logits, slot_cache = m(ids, slot_cache, pos)
             return logits[:, -1], slot_cache
 
@@ -169,6 +183,11 @@ class BatchedEngine:
             # `wlen` [1] is the real token count (ring-write masking).
             m = nnx.merge(graphdef, state)
             kw = {"write_len": wlen} if wl_ok else {}
+            if li_ok:
+                logits, slot_cache = m(
+                    ids, slot_cache, pos, logits_indices=last_idx, **kw
+                )
+                return logits[:, 0], slot_cache
             logits, slot_cache = m(ids, slot_cache, pos, **kw)
             last = jax.lax.dynamic_slice_in_dim(logits, last_idx, 1, axis=1)
             return last[:, 0], slot_cache
@@ -201,8 +220,11 @@ class BatchedEngine:
             # participating — ring layers skip its writes entirely).
             m = nnx.merge(graphdef, state)
             kw = {"write_len": wlen} if wl_ok else {}
-            logits, cache = m(ids, cache, pos, **kw)
             idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
+            if li_ok:
+                logits, cache = m(ids, cache, pos, logits_indices=idx, **kw)
+                return logits[:, 0], cache
+            logits, cache = m(ids, cache, pos, **kw)
             last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             return last, cache
 
@@ -218,9 +240,13 @@ class BatchedEngine:
             # token vector per chunk.
             m = nnx.merge(graphdef, state)
             kw = {"write_len": wlen} if wl_ok else {}
-            logits, cache = m(ids, cache, pos, **kw)
             idx = jnp.clip(last_idx, 0, ids.shape[1] - 1)
-            last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+            if li_ok:
+                logits, cache = m(ids, cache, pos, logits_indices=idx, **kw)
+                last = logits[:, 0]
+            else:
+                logits, cache = m(ids, cache, pos, **kw)
+                last = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
             nxt = self._sample(last, key).astype(jnp.int32)
             return nxt, cache
 
