@@ -860,7 +860,14 @@ class PagedEngine(BatchedEngine):
         self._table = np.zeros((max_batch, self.pages_per_slot), np.int32)
         self._free_pages = list(range(1, n_pages))  # page 0 reserved
         self._slot_pages: Dict[int, List[int]] = {}
-        self.prefix_sharing = prefix_sharing
+        # Prefix sharing is OFF under the ring hybrid: a suffix prefill's
+        # queries need window keys from inside the shared region, and the
+        # dependency compounds by W per sliding layer (the same reason
+        # vLLM disables prefix caching for sliding-window models) — exact
+        # sharing would require re-prefilling essentially everything.
+        self.prefix_sharing = prefix_sharing and not getattr(
+            self, "_ring_hybrid", False
+        )
         self._prefix_pages: Dict[bytes, int] = {}  # token-prefix key → page id
         self._page_key: Dict[int, bytes] = {}  # page id → its prefix key
         self._page_refs: Dict[int, int] = {}  # prefix page → active users
@@ -871,6 +878,7 @@ class PagedEngine(BatchedEngine):
         self.preemptions = 0  # requests preempted under pool pressure (stats)
 
     def _make_cache(self, kv_quant):
+        from ..tensor.kv_cache import init_quantized_kv_cache
         from ..tensor.paged_kv import init_paged_kv_cache
 
         c = self.model.config
@@ -881,10 +889,33 @@ class PagedEngine(BatchedEngine):
         hidden = getattr(c, "hidden_size", None) or c.n_embd
         all_heads = getattr(c, "num_attention_heads", None) or c.n_head
         head_dim = getattr(c, "head_dim", None) or hidden // all_heads
-        return init_paged_kv_cache(
+        paged = init_paged_kv_cache(
             n_layers, self.n_pages, self.page_size, self.max_batch,
             self.pages_per_slot, heads, head_dim,
             kv_quant=kv_quant, dtype=c.dtype,
+        )
+        # Paged + ring HYBRID for sliding-window families: sliding layers
+        # get dense W-slot ring buffers (tiny — no point paging a 128-token
+        # window) while full layers share the page pool. The model's
+        # per-layer dispatch (models/sliding.use_ring) composes them.
+        w = getattr(c, "sliding_window", None)
+        lt = getattr(c, "layer_types", None)
+        self._ring_hybrid = bool(
+            w is not None and lt is not None and w < self.max_len
+            and any(t == "sliding_attention" for t in lt)
+        )
+        if not self._ring_hybrid:
+            return paged
+        def ring_layer():
+            if kv_quant is not None:
+                return init_quantized_kv_cache(
+                    1, self.max_batch, w, heads, head_dim, kv_quant
+                )[0]
+            shape = (self.max_batch, w, heads, head_dim)
+            return (jnp.zeros(shape, c.dtype), jnp.zeros(shape, c.dtype))
+        return tuple(
+            ring_layer() if lt[i] == "sliding_attention" else paged[i]
+            for i in range(n_layers)
         )
 
     def _with_table(self, cache, table_rows):
@@ -892,6 +923,39 @@ class PagedEngine(BatchedEngine):
         return tuple(
             dataclasses.replace(layer, _table=table) if hasattr(layer, "_table") else layer
             for layer in cache
+        )
+
+    def _slot_view(self, slot: int):
+        """Batch-1 cache view for `slot`: paged layers via their table row
+        (writes land in the shared pool in place); hybrid dense ring layers
+        via a row slice (scattered back by `_merge_slot_view`)."""
+        view = self._with_table(self._cache, self._table[slot : slot + 1])
+        if not getattr(self, "_ring_hybrid", False):
+            return view
+        sl = jnp.int32(slot)
+        return tuple(
+            layer if hasattr(layer, "_table")
+            else jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(a, sl, 1, axis=0), layer
+            )
+            for layer in view
+        )
+
+    def _merge_slot_view(self, view, slot: int):
+        """Fold a post-prefill slot view back into the pooled cache."""
+        if not getattr(self, "_ring_hybrid", False):
+            return self._with_table(view, self._table)
+        sl = jnp.int32(slot)
+
+        def put(big, small):
+            return jax.lax.dynamic_update_slice(
+                big, small.astype(big.dtype), (sl,) + (0,) * (big.ndim - 1)
+            )
+
+        return tuple(
+            self._with_table((v,), self._table)[0] if hasattr(v, "_table")
+            else jax.tree_util.tree_map(put, big, v)
+            for big, v in zip(self._cache, view)
         )
 
     def _prefix_key(self, prompt: np.ndarray, n_pages: int) -> bytes:
@@ -991,11 +1055,11 @@ class PagedEngine(BatchedEngine):
 
         # 3. Prefill the un-shared suffix through the slot's table row (the
         # sliced view writes the shared pool pages in place).
-        cache_view = self._with_table(self._cache, self._table[slot : slot + 1])
+        cache_view = self._slot_view(slot)
         last_logits, cache_view = self._prefill_into(
             cache_view, prompt[shared_len:], start_pos=shared_len
         )
-        self._cache = self._with_table(cache_view, self._table)
+        self._cache = self._merge_slot_view(cache_view, slot)
 
         # 4. Register this prompt's new fully-covered pages for future reuse.
         if self.prefix_sharing:
