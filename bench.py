@@ -210,6 +210,27 @@ def kernel_smoke():
     assert out is not None
     check("w4a8 requant-dot m=2048", out, (np.asarray(xq, np.float32) * 0.01) @ deq.T)
 
+    # Padded off-envelope layout (round 5): gs=96 / misaligned N-K dims ride
+    # the kernel via per-group zero padding — assert the padded program
+    # Mosaic-compiles and matches the dequant oracle on hardware.
+    wp = jnp.asarray(rng.randn(320, 576), jnp.bfloat16)
+    sp_, zp_ = qt.MaxOptimizer()(wp, qt.qint4, axis=0, group_size=96)
+    qwp = qt.quantize_weight(wp, qt.qint4, 0, sp_, shift=zp_, group_size=96)
+    tpu_p = WeightQBitsTpuArray.from_generic(qwp)
+    assert tpu_p is not None and tpu_p.pad is not None
+    from quanto_tpu.ops.qlinear import qlinear as _qlinear
+
+    xp_ = jnp.asarray(rng.randn(8, 576), jnp.bfloat16)
+    ops_config.set_backend(pallas_qbits=True)
+    try:
+        outp = _qlinear(xp_, tpu_p)
+    finally:
+        ops_config.set_backend()
+    check(
+        "padded gs96 [320,576]", outp,
+        np.asarray(xp_, np.float32) @ np.asarray(qwp.dequantize(), np.float32).T,
+    )
+
     # Stacked-expert MoE kernels (VERDICT round-4 weak #2: the moe_mm family
     # uses its own grid/scalar-prefetch machinery and had zero Mosaic-compile
     # protection while being a headline capability). Assert all three entry
@@ -268,7 +289,7 @@ def kernel_smoke():
 
     log(
         "kernel smoke: ok (int4 decode/prefill + w4a8 exact/requant-dot, "
-        "k_shards 1/2; moe sel/all/prefill + uniq/uniq-prefill)"
+        "k_shards 1/2; padded gs96; moe sel/all/prefill + uniq/uniq-prefill)"
     )
 
 
