@@ -34,12 +34,23 @@ def make_cache(model, batch: int, cache_len: int, dtype=None, kv_quant=None):
     return init_kv_cache(model.config, batch, cache_len, **kwargs)
 
 
-def make_prefill_fn(graphdef):
-    """Jitted prefill: (state, ids [B,T], cache, pos0) -> (logits, cache)."""
+def make_prefill_fn(graphdef, last_only: bool = False):
+    """Jitted prefill: (state, ids [B,T], cache, pos0) -> (logits, cache).
+
+    `last_only`: compute logits only at the final position ([B, 1, V]) for
+    models supporting `logits_indices` — skips the O(T*vocab) logits tensor
+    and (T-1)/T of the lm_head matmul (use when only the next-token logits
+    matter; perplexity-style callers need the default full logits)."""
 
     @jax.jit
     def prefill(state, ids, cache, pos0=0):
+        import inspect
+
         model = nnx.merge(graphdef, state)
+        if last_only and "logits_indices" in inspect.signature(
+            type(model).__call__
+        ).parameters:
+            return model(ids, cache, pos0, logits_indices=ids.shape[1] - 1)
         return model(ids, cache, pos0)
 
     return prefill

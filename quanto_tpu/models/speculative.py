@@ -245,8 +245,11 @@ class SpeculativeGenerator:
         )
         self._t_graphdef, self._t_state = nnx.split(target)
         self._d_graphdef, self._d_state = nnx.split(draft)
-        self._t_prefill = make_prefill_fn(self._t_graphdef)
-        self._d_prefill = make_prefill_fn(self._d_graphdef)
+        # Only the last position's logits are consumed from either prefill
+        # (the draft's are discarded outright): last_only skips the
+        # O(T*vocab) logits tensors at 128k-201k vocabs.
+        self._t_prefill = make_prefill_fn(self._t_graphdef, last_only=True)
+        self._d_prefill = make_prefill_fn(self._d_graphdef, last_only=True)
         self._spec_fns = {}
 
     def _spec_fn(self, rounds: int):
